@@ -1,0 +1,204 @@
+"""Blocking: prune the O(n^2) pair space to candidate pairs.
+
+Three blockers, mirroring the reference grid
+(reference script/model_magellan_ml.py:383-396):
+
+* MinHash-LSH (reference script/blocking_algorithms.py:83-176)
+* word-token overlap (Magellan OverlapBlocker, blocking_algorithms.py:20-55)
+* edit-distance cascade on survivors (blocking_algorithms.py:58-80 +
+  script/utilities.py:492-502)
+
+The reference walks Python dict buckets and emits ``itertools.combinations``
+per bucket — a mega-bucket is quadratic with no guard
+(blocking_algorithms.py:135-140). Here pair generation is a self-equi-join
+on the block key with an ``id_a < id_b`` predicate, and hot blocks are
+handled EXPLICITLY (north rule): a bounded block-size cap drops oversized
+buckets *visibly* (counted + returned in stats, never silent), and the
+pair join runs under AQE skew-join. At cluster scale the block-key join is
+the skew hot spot; the cap bounds per-key work to cap*(cap-1)/2.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from neural_entity_matching_spark.functions.minhash import band_keys_udf
+from neural_entity_matching_spark.functions.similarity import lev_ratio, tokens
+
+
+@dataclass
+class BlockingStats:
+    """Semantically-visible skew accounting (SURVEY.md §7 risk 3)."""
+
+    total_blocks: int = 0
+    oversized_blocks: int = 0
+    dropped_memberships: int = 0
+    capped_at: int | None = None
+    extra: dict = field(default_factory=dict)
+
+
+def lsh_band_keys(
+    signatures: DataFrame,
+    num_hashes: int = 128,
+    bands: int = 32,
+    char_ngram: int = 8,
+    seed: int = 42,
+    text_col: str = "sig_text",
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """(id, block_key) rows — one per (doc, band).
+
+    block_key is deterministic and partition-invariant (seeded hashing only;
+    SURVEY.md §7 risk 2). These ARE the "fixed blocking keys" the F1 gate
+    is evaluated at (frozen params per FIXTURES.md §4).
+    """
+    udf = band_keys_udf(num_hashes=num_hashes, bands=bands,
+                        char_ngram=char_ngram, seed=seed)
+    return (
+        signatures
+        .select(F.col(id_col).alias("conv_id"), udf(F.col(text_col)).alias("bands"))
+        .select(
+            "conv_id",
+            F.posexplode("bands").alias("band_idx", "band_hash"),
+        )
+        .select(
+            "conv_id",
+            F.concat_ws(":", F.col("band_idx"), F.col("band_hash")).alias("block_key"),
+        )
+    )
+
+
+def pairs_from_block_keys(
+    keys: DataFrame,
+    block_cap: int = 200,
+    id_col: str = "conv_id",
+) -> tuple[DataFrame, BlockingStats]:
+    """Self-join (block_key, id) on block_key with ``id_a < id_b``.
+
+    Replaces the reference's per-bucket ``itertools.combinations``
+    (blocking_algorithms.py:135-140) with the distributed equivalent:
+    equi-join on block key + range predicate, deduped across bands.
+
+    ``block_cap`` bounds per-block membership: blocks larger than the cap
+    are dropped entirely and counted in stats (the reference has no guard;
+    the north rule requires bounded caps). Pair volume per surviving block
+    is <= cap*(cap-1)/2.
+    """
+    sizes = keys.groupBy("block_key").agg(F.count("*").alias("block_size"))
+    stats_row = sizes.agg(
+        F.count("*").alias("total"),
+        F.sum(F.when(F.col("block_size") > block_cap, 1).otherwise(0)).alias("over"),
+        F.sum(
+            F.when(F.col("block_size") > block_cap, F.col("block_size")).otherwise(0)
+        ).alias("dropped"),
+    ).collect()[0]
+    stats = BlockingStats(
+        total_blocks=stats_row["total"] or 0,
+        oversized_blocks=stats_row["over"] or 0,
+        dropped_memberships=stats_row["dropped"] or 0,
+        capped_at=block_cap,
+    )
+
+    eligible = sizes.filter(
+        (F.col("block_size") >= 2) & (F.col("block_size") <= block_cap)
+    ).select("block_key")
+    # AQE coalesces / splits this join at runtime; eligible is usually the
+    # small side but can be large — leave the strategy to the optimizer.
+    pruned = keys.join(eligible, "block_key")
+
+    a = pruned.select(F.col("block_key"), F.col(id_col).alias("conv_id_a"))
+    b = pruned.select(F.col("block_key"), F.col(id_col).alias("conv_id_b"))
+    pairs = (
+        a.join(b, "block_key")
+        .filter(F.col("conv_id_a") < F.col("conv_id_b"))
+        .select("conv_id_a", "conv_id_b")
+        .dropDuplicates(["conv_id_a", "conv_id_b"])
+    )
+    return pairs, stats
+
+
+def lsh_block(
+    signatures: DataFrame,
+    num_hashes: int = 128,
+    bands: int = 32,
+    char_ngram: int = 8,
+    seed: int = 42,
+    block_cap: int = 200,
+) -> tuple[DataFrame, BlockingStats]:
+    """Full MinHash-LSH blocker: signatures -> unique candidate pairs."""
+    keys = lsh_band_keys(signatures, num_hashes, bands, char_ngram, seed)
+    return pairs_from_block_keys(keys, block_cap=block_cap)
+
+
+def token_overlap_block(
+    signatures: DataFrame,
+    min_shared_tokens: int = 2,
+    text_col: str = "sig_text",
+    id_col: str = "conv_id",
+    max_token_df: int | None = 1000,
+) -> tuple[DataFrame, BlockingStats]:
+    """Word-level token-overlap blocker (>= min_shared_tokens shared tokens),
+    the OverlapBlocker semantics of blocking_algorithms.py:34-53.
+
+    Distributed as an inverted-index self-join: tokenize -> explode ->
+    equi-join on token -> groupBy(pair) count >= k. ``max_token_df`` drops
+    tokens appearing in more than that many docs (a stopword token would
+    otherwise emit a quadratic pair explosion); dropped tokens are counted
+    in stats — visible, like the block cap.
+    """
+    toks = (
+        signatures
+        .select(F.col(id_col).alias("conv_id"),
+                F.explode(tokens(F.col(text_col))).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    stats = BlockingStats(capped_at=max_token_df)
+    if max_token_df is not None:
+        df_counts = toks.groupBy("token").agg(F.count("*").alias("df"))
+        hot = df_counts.filter(F.col("df") > max_token_df)
+        stats.extra["hot_tokens_dropped"] = hot.count()
+        toks = toks.join(F.broadcast(hot.select("token")), "token", "left_anti")
+
+    a = toks.select(F.col("token"), F.col("conv_id").alias("conv_id_a"))
+    b = toks.select(F.col("token"), F.col("conv_id").alias("conv_id_b"))
+    pairs = (
+        a.join(b, "token")
+        .filter(F.col("conv_id_a") < F.col("conv_id_b"))
+        .groupBy("conv_id_a", "conv_id_b")
+        .agg(F.count("*").alias("shared_tokens"))
+        .filter(F.col("shared_tokens") >= min_shared_tokens)
+        .select("conv_id_a", "conv_id_b")
+    )
+    return pairs, stats
+
+
+def edit_distance_filter(
+    candidates: DataFrame,
+    signatures: DataFrame,
+    cutoff_ratio: float = 60.0,
+    id_col: str = "conv_id",
+    text_col: str = "sig_text",
+) -> DataFrame:
+    """Second stage of the reference's sequential cascade: keep candidate
+    pairs whose edit-similarity ratio >= cutoff (calculate_edit_block_bool,
+    reference script/utilities.py:492-502; grid cutoffs {50,60,70,80}).
+
+    Cheap blocker first, expensive distance on survivors — the reference's
+    one manual optimization (model_magellan_ml.py:189-191) — and here the
+    distance is Spark's JVM ``levenshtein``, fully codegen'd.
+    """
+    sig = signatures.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")
+    )
+    return (
+        candidates
+        .join(sig.withColumnRenamed("_id", "conv_id_a")
+                 .withColumnRenamed("_txt", "_txt_a"), "conv_id_a")
+        .join(sig.withColumnRenamed("_id", "conv_id_b")
+                 .withColumnRenamed("_txt", "_txt_b"), "conv_id_b")
+        .filter(lev_ratio(F.col("_txt_a"), F.col("_txt_b")) >= cutoff_ratio)
+        .select("conv_id_a", "conv_id_b")
+    )

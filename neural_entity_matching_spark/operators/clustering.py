@@ -1,0 +1,126 @@
+"""Transitive clustering: connected components over matched pairs.
+
+ABSENT from the reference (it stops at pairwise decisions; entity clusters
+are the components implied by matched pairs — SURVEY.md §2.8); required by
+the north rule. GraphFrames isn't on this classpath, so this is a
+hand-rolled iterative min-label propagation over hash-partitioned joins:
+
+    label(v) <- min(label(v), min over neighbors u of label(u))
+
+repeated to fixpoint. ER components are shallow (duplicate groups), so the
+iteration count ~ cluster diameter, a small constant; each iteration is
+one shuffle join + one aggregation. Lineage is cut with localCheckpoint
+every iteration (a 50-iteration loop would otherwise build an
+un-analyzable plan). At 10^12-turn scale the same loop runs with edges
+bucketed by src; for pathological diameters switch to the large-star/
+small-star variant (same join primitive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iterations: int = 50,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """(conv_id, cluster_id) with cluster_id = min conv_id in the component.
+
+    ``edges``: (conv_id_a, conv_id_b) matched pairs.
+    ``vertices``: optional full entity set so singletons get their own
+    cluster (cluster_id = conv_id).
+    """
+    sym = (
+        edges.select(F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst"))
+        .unionByName(
+            edges.select(
+                F.col("conv_id_b").alias("src"), F.col("conv_id_a").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    labels = (
+        sym.select(F.col("src").alias("conv_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("conv_id"))
+    )
+
+    for i in range(max_iterations):
+        # candidate label for each vertex: min over neighbor labels
+        neighbor_min = (
+            sym.join(
+                labels.withColumnRenamed("conv_id", "dst").withColumnRenamed(
+                    "cluster_id", "nbr_label"
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nbr_label").alias("nbr_label"))
+            .withColumnRenamed("src", "conv_id")
+        )
+        updated = (
+            labels.join(neighbor_min, "conv_id", "left")
+            .select(
+                "conv_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_label", "cluster_id")
+                ).alias("cluster_id"),
+                (
+                    F.coalesce("nbr_label", "cluster_id") < F.col("cluster_id")
+                ).cast("int").alias("_changed"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            updated = updated.localCheckpoint(eager=True)
+        changed = updated.agg(F.sum("_changed")).collect()[0][0] or 0
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+
+    if vertices is not None:
+        labels = (
+            vertices.select("conv_id")
+            .distinct()
+            .join(labels, "conv_id", "left")
+            .select(
+                "conv_id", F.coalesce("cluster_id", "conv_id").alias("cluster_id")
+            )
+        )
+    return labels
+
+
+def union_find_oracle(pairs: list[tuple[str, str]], vertices: list[str]) -> dict[str, str]:
+    """Pure-Python union-find — the test oracle for transitive closure
+    (SURVEY.md §5 invariant 2). Driver-side only, never in the pipeline."""
+    parent: dict[str, str] = {v: v for v in vertices}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    # canonical: min member id per component
+    comp: dict[str, list[str]] = {}
+    for v in parent:
+        comp.setdefault(find(v), []).append(v)
+    out: dict[str, str] = {}
+    for members in comp.values():
+        root = min(members)
+        for m in members:
+            out[m] = root
+    return out

@@ -1,0 +1,110 @@
+"""Pairwise featurization + scoring.
+
+Reference flow: Magellan auto feature gen over candidate pairs
+(reference script/model_magellan_ml.py:37-114), label attach via left join
++ NaN->0 (model_magellan_ml.py:207-208), shallow matcher or the degenerate
+blocker-as-matcher bypass when post-blocking labels are single-class
+(model_magellan_ml.py:119-134,214-219).
+
+Spark-first: features are column expressions (codegen) plus optional
+pandas-UDF measures; the payload fetch is two joins back to the signature
+table (the reference's pair re-alignment dance at
+blocking_algorithms.py:149-172 disappears because pairs carry
+(conv_id_a, conv_id_b) columns from the start).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from neural_entity_matching_spark.functions.similarity import (
+    jaro_winkler_udf,
+    len_ratio,
+    lev_ratio,
+    token_jaccard,
+)
+
+FEATURE_COLS = ["lev_ratio", "token_jaccard", "len_ratio"]
+
+
+def featurize_pairs(
+    candidates: DataFrame,
+    signatures: DataFrame,
+    with_jaro_winkler: bool = False,
+) -> DataFrame:
+    """Attach (sig_a, sig_b) payloads and compute pair features.
+
+    Hot path is JVM-only (levenshtein / array jaccard / lengths); the
+    Jaro-Winkler pandas UDF is opt-in (Arrow batch per partition).
+    Scale note: both payload joins shuffle on conv_id — the same key the
+    signature table is already hash-partitioned on, so AQE keeps them
+    cheap; candidates is the smaller post-blocking side.
+    """
+    sig = signatures.select("conv_id", "sig_text")
+    out = (
+        candidates
+        .join(sig.withColumnRenamed("conv_id", "conv_id_a")
+                 .withColumnRenamed("sig_text", "sig_a"), "conv_id_a")
+        .join(sig.withColumnRenamed("conv_id", "conv_id_b")
+                 .withColumnRenamed("sig_text", "sig_b"), "conv_id_b")
+        .withColumn("lev_ratio", lev_ratio(F.col("sig_a"), F.col("sig_b")))
+        .withColumn("token_jaccard", token_jaccard(F.col("sig_a"), F.col("sig_b")))
+        .withColumn("len_ratio", len_ratio(F.col("sig_a"), F.col("sig_b")))
+    )
+    if with_jaro_winkler:
+        out = out.withColumn(
+            "jaro_winkler", jaro_winkler_udf(F.col("sig_a"), F.col("sig_b"))
+        )
+    return out.drop("sig_a", "sig_b")
+
+
+def attach_labels(candidates: DataFrame, labeled_pairs: DataFrame) -> DataFrame:
+    """Left join + coalesce(y, 0): negatives are implied by absence
+    (reference script/model_magellan_ml.py:207-208). The label table is tiny
+    relative to candidates — broadcast it."""
+    return (
+        candidates.join(
+            F.broadcast(labeled_pairs.select("conv_id_a", "conv_id_b", "y")),
+            ["conv_id_a", "conv_id_b"],
+            "left",
+        )
+        .withColumn("y", F.coalesce(F.col("y"), F.lit(0)))
+    )
+
+
+def threshold_scorer(
+    featurized: DataFrame,
+    threshold: float = 0.55,
+    w_lev: float = 0.5,
+    w_jacc: float = 0.5,
+) -> DataFrame:
+    """Deterministic linear scorer over the JVM features.
+
+    score = w_lev * lev_ratio/100 + w_jacc * token_jaccard, match iff
+    score >= threshold. This is the no-ML path (the ML scorers live in
+    operators/ml_scorer.py); it already separates the synthetic dup
+    perturbations (<=10% token noise) from hard negatives.
+    """
+    return (
+        featurized
+        .withColumn(
+            "score",
+            w_lev * F.col("lev_ratio") / 100.0 + w_jacc * F.col("token_jaccard"),
+        )
+        .withColumn("is_match", (F.col("score") >= threshold).cast("int"))
+    )
+
+
+def degenerate_scorer(featurized: DataFrame) -> DataFrame:
+    """Blocker-as-matcher bypass: when post-blocking training labels are
+    single-class the reference skips training and predicts 1 for every
+    candidate (model_magellan_ml.py:119-134,214-219). Same interface."""
+    return featurized.withColumn("score", F.lit(1.0)).withColumn(
+        "is_match", F.lit(1)
+    )
+
+
+def is_single_class(labeled: DataFrame) -> bool:
+    """Guard for the degenerate path (model_magellan_ml.py:214-219)."""
+    return labeled.select("y").distinct().count() < 2
