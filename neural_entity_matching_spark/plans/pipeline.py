@@ -1,0 +1,154 @@
+"""End-to-end pipeline orchestration: block -> score -> cluster, with
+snapshot checkpoints, resume, and per-partition lineage metrics.
+
+This is the Spark lifecycle of the reference's EP2
+(reference script/model_magellan_ml.py:138-430) re-expressed as staged
+DataFrame jobs (SURVEY.md §3): scan -> normalize -> signature -> minhash
+band keys -> salted/capped block join -> pair features -> scorer ->
+threshold -> edge list -> connected components -> clusters table. Each
+stage commits a snapshot (sources/io.py) and appends lineage rows, so a
+killed run resumes from the last committed stage (north rule).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neural_entity_matching_spark.functions.normalize import build_signatures
+from neural_entity_matching_spark.operators.blocking import lsh_block
+from neural_entity_matching_spark.operators.clustering import connected_components
+from neural_entity_matching_spark.operators.scoring import (
+    featurize_pairs,
+    threshold_scorer,
+)
+from neural_entity_matching_spark.sources.io import CheckpointManager, fingerprint
+
+
+@dataclass
+class PipelineConfig:
+    num_hashes: int = 128
+    bands: int = 64
+    char_ngram: int = 8
+    seed: int = 42
+    block_cap: int = 35
+    threshold: float = 0.55
+    w_lev: float = 0.5
+    w_jacc: float = 0.5
+    version: str = "1"
+
+    def fingerprint(self, stage: str, upstream: str) -> str:
+        return fingerprint(stage, upstream, sorted(asdict(self).items()))
+
+
+@dataclass
+class PipelineReport:
+    run_id: str
+    stages: dict = field(default_factory=dict)
+
+
+def _lineage_rows(spark, run_id: str, stage: str, df: DataFrame,
+                  snapshot_id: str, wall_ms: int, resumed: bool) -> DataFrame:
+    """Per-partition lineage: one row per output partition + a stage total
+    (north rule 'per-partition lineage + metrics')."""
+    per_part = (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count("*").alias("rows_out"))
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(stage).alias("stage"),
+            "partition_id",
+            "rows_out",
+            F.lit(wall_ms).cast("long").alias("wall_ms"),
+            F.lit(snapshot_id).alias("snapshot_id"),
+            F.lit(resumed).alias("resumed"),
+        )
+    )
+    return per_part
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    checkpoint_dir: str,
+    config: PipelineConfig | None = None,
+    input_fingerprint: str = "",
+    run_id: str = "run",
+) -> tuple[DataFrame, PipelineReport]:
+    """Run (or resume) the full chain; returns (clusters, report).
+
+    ``input_fingerprint`` should identify the input snapshot (e.g. the
+    Iceberg snapshot id of the transcripts table); stages re-run only when
+    it or the config changes.
+    """
+    cfg = config or PipelineConfig()
+    ckpt = CheckpointManager(spark, checkpoint_dir)
+    report = PipelineReport(run_id=run_id)
+    metrics: list[DataFrame] = []
+
+    def stage(name: str, upstream_fp: str, compute, repartition_by=None):
+        fp = cfg.fingerprint(name, upstream_fp + input_fingerprint)
+        res = ckpt.run_or_resume(name, fp, compute, repartition_by=repartition_by)
+        report.stages[name] = {
+            "rows": res.rows, "wall_ms": res.wall_ms, "resumed": res.resumed,
+            "snapshot_id": res.snapshot_id,
+        }
+        metrics.append(
+            _lineage_rows(spark, run_id, name, res.df, res.snapshot_id,
+                          res.wall_ms, res.resumed)
+        )
+        return res
+
+    sig_res = stage(
+        "signatures", "input", lambda: build_signatures(transcripts),
+        repartition_by=["conv_id"],
+    )
+
+    def compute_candidates():
+        pairs, stats = lsh_block(
+            sig_res.df,
+            num_hashes=cfg.num_hashes, bands=cfg.bands,
+            char_ngram=cfg.char_ngram, seed=cfg.seed, block_cap=cfg.block_cap,
+        )
+        report.stages["_blocking_stats"] = {
+            "total_blocks": stats.total_blocks,
+            "oversized_blocks": stats.oversized_blocks,
+            "dropped_memberships": stats.dropped_memberships,
+            "capped_at": stats.capped_at,
+        }
+        return pairs
+
+    cand_res = stage("candidates", sig_res.snapshot_id, compute_candidates,
+                     repartition_by=["conv_id_a"])
+
+    scored_res = stage(
+        "scored",
+        cand_res.snapshot_id,
+        lambda: threshold_scorer(
+            featurize_pairs(cand_res.df, sig_res.df),
+            threshold=cfg.threshold, w_lev=cfg.w_lev, w_jacc=cfg.w_jacc,
+        ),
+        repartition_by=["conv_id_a"],
+    )
+
+    cluster_res = stage(
+        "clusters",
+        scored_res.snapshot_id,
+        lambda: connected_components(
+            scored_res.df.filter(F.col("is_match") == 1)
+            .select("conv_id_a", "conv_id_b"),
+            vertices=sig_res.df,
+        ),
+        repartition_by=["cluster_id"],
+    )
+
+    # append lineage (run_metrics table)
+    all_metrics = metrics[0]
+    for m in metrics[1:]:
+        all_metrics = all_metrics.unionByName(m)
+    all_metrics.write.mode("append").parquet(f"{checkpoint_dir}/run_metrics")
+
+    return cluster_res.df, report

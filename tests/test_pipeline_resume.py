@@ -1,0 +1,53 @@
+"""Resume test (SURVEY.md §5 item 4): kill after an intermediate stage,
+rerun, byte-identical clusters and no recomputation of committed stages."""
+
+import pyspark.sql.functions as F
+
+from neural_entity_matching_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+
+def _clusters_dict(df):
+    return {r["conv_id"]: r["cluster_id"] for r in df.collect()}
+
+
+def test_resume_identical_clusters(spark, fixture_small, tmp_path):
+    transcripts, labeled, _ = fixture_small
+    ckpt = str(tmp_path / "ckpt")
+
+    clusters1, report1 = run_pipeline(
+        spark, transcripts, ckpt, PipelineConfig(), input_fingerprint="fx-small",
+        run_id="r1",
+    )
+    c1 = _clusters_dict(clusters1)
+    assert not any(s.get("resumed") for s in report1.stages.values()
+                   if isinstance(s, dict) and "resumed" in s)
+
+    # simulate a crash after the 'scored' stage: clusters snapshot is lost
+    import shutil
+
+    shutil.rmtree(tmp_path / "ckpt" / "clusters")
+
+    clusters2, report2 = run_pipeline(
+        spark, transcripts, ckpt, PipelineConfig(), input_fingerprint="fx-small",
+        run_id="r2",
+    )
+    c2 = _clusters_dict(clusters2)
+    assert c1 == c2
+    # committed stages were resumed, the lost one recomputed
+    assert report2.stages["signatures"]["resumed"]
+    assert report2.stages["candidates"]["resumed"]
+    assert report2.stages["scored"]["resumed"]
+    assert not report2.stages["clusters"]["resumed"]
+
+    # config change invalidates downstream stages
+    clusters3, report3 = run_pipeline(
+        spark, transcripts, ckpt, PipelineConfig(threshold=0.6),
+        input_fingerprint="fx-small", run_id="r3",
+    )
+    assert not report3.stages["scored"]["resumed"]
+
+    # lineage rows exist per stage with per-partition granularity
+    metrics = spark.read.parquet(f"{ckpt}/run_metrics")
+    stages = {r["stage"] for r in metrics.select("stage").distinct().collect()}
+    assert {"signatures", "candidates", "scored", "clusters"} <= stages
+    assert metrics.filter(F.col("rows_out") <= 0).count() == 0
