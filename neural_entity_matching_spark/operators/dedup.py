@@ -1,0 +1,233 @@
+"""Corpus deduplication operators for large-scale training-data pipelines.
+
+Five strategies over a document table ``(id, text)``:
+
+* exact          — hash-groupBy on a normalized fingerprint
+* minhash_lsh    — MinHash banding candidates + exact n-gram Jaccard verify
+                   (same primitives as the ER blocker, functions/minhash.py)
+* simhash        — 64-bit SimHash, banded into 4x16-bit exact-match keys
+                   (any pair within Hamming distance 3 shares >= 1 band by
+                   pigeonhole over 4 bands), verified by true Hamming bits
+* ngram_jaccard  — exact char-n-gram Jaccard inside a cheap block
+* embedding_cosine — near-dup by embedding cosine >= t, LSH-bucketed via
+                   random hyperplanes (operators/ann.py primitives)
+
+All custom math is vectorized numpy inside pandas UDFs; pair generation is
+always an equi-join on a block key (never a cross join).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from neural_entity_matching_spark.functions.minhash import band_keys_udf
+from neural_entity_matching_spark.operators.blocking import (
+    BlockingStats,
+    pairs_from_block_keys,
+)
+
+
+def normalize_fp(col):
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per distinct normalized text: keeper id (min), copy count."""
+    return (
+        docs.withColumn("fp", normalize_fp(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _ngram_col(col_name: str, n: int):
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({col_name}) - {n - 1}, 1)),"
+        f" i -> substring({col_name}, i, {n})))"
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    char_ngram: int = 5,
+    seed: int = 42,
+    threshold: float = 0.4,
+    block_cap: int = 2000,
+) -> tuple[DataFrame, BlockingStats]:
+    """Near-dup pairs with exact char-ngram Jaccard >= threshold, candidates
+    from MinHash-LSH banding. A size-ratio prefilter (necessary condition
+    j <= min/max sizes) prunes pairs before the array intersection —
+    the standard length filter of set-similarity joins."""
+    udf = band_keys_udf(num_hashes=num_hashes, bands=bands,
+                        char_ngram=char_ngram, seed=seed)
+    keys = (
+        docs.select(F.col(id_col).cast("string").alias("conv_id"),
+                    F.trim(F.col(text_col)).alias("t"))
+        .select("conv_id", F.posexplode(udf("t")).alias("band_idx", "band_hash"))
+        .select("conv_id",
+                F.concat_ws(":", "band_idx", "band_hash").alias("block_key"))
+    )
+    cand, stats = pairs_from_block_keys(keys, block_cap=block_cap)
+    g = docs.select(
+        F.col(id_col).cast("string").alias("cid"),
+        F.col(id_col).alias("did"),
+        _ngram_col(text_col, char_ngram).alias("g"),
+    ).withColumn("sz", F.size("g"))
+    pairs = (
+        cand.join(g.select(F.col("cid").alias("conv_id_a"), F.col("did").alias("id_a"),
+                           F.col("g").alias("ga"), F.col("sz").alias("sa")), "conv_id_a")
+        .join(g.select(F.col("cid").alias("conv_id_b"), F.col("did").alias("id_b"),
+                       F.col("g").alias("gb"), F.col("sz").alias("sb")), "conv_id_b")
+        # size-ratio prefilter: jaccard <= min/max, so min/max < t => skip
+        .filter(F.least("sa", "sb") >= threshold * F.greatest("sa", "sb"))
+        .withColumn("jacc", F.size(F.array_intersect("ga", "gb"))
+                    / F.size(F.array_union("ga", "gb")))
+        .filter(F.col("jacc") >= threshold)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.round("jacc", 6).alias("jacc"),
+        )
+    )
+    return pairs, stats
+
+
+def simhash_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sh) — 64-bit SimHash over word tokens, computed entirely
+    JVM-side: explode tokens -> xxhash64 -> per-bit ±1 vote sums ->
+    sign-assembled hash. Zero Python in the plan (whole-stage codegen)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok", F.lit(seed)))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    sh = None
+    for b in range(64):
+        # shiftleft wraps at bit 63 into the sign bit — correct for uint64 view
+        term = F.when(
+            F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        sh = term if sh is None else sh.bitwiseOR(term)
+    return votes.select("id", sh.alias("sh"))
+
+
+def simhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    seed: int = 42,
+    block_cap: int = 2000,
+) -> tuple[DataFrame, BlockingStats]:
+    """Pairs within Hamming distance ``max_hamming`` of their 64-bit
+    SimHash. Blocking: split the hash into 4 x 16-bit bands; by pigeonhole
+    any pair with <= 3 differing bits agrees on >= 1 band exactly, so an
+    equi-join on (band_idx, band_value) has recall 1.0 for d <= 3."""
+    d = simhash_table(docs, id_col=id_col, text_col=text_col, seed=seed)
+    bands = d.select(
+        "id", "sh",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band_idx"),
+                         F.shiftrightunsigned("sh", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("band_val"))
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select("id", "sh", F.concat_ws(":", "b.band_idx", "b.band_val").alias("block_key"))
+
+    keys = bands.select(F.col("id").cast("string").alias("conv_id"), "block_key")
+    cand, stats = pairs_from_block_keys(keys, block_cap=block_cap)
+    payload = d.select(F.col("id").cast("string").alias("cid"),
+                       F.col("id").alias("did"), "sh")
+    return (
+        cand.join(payload.select(F.col("cid").alias("conv_id_a"),
+                                 F.col("did").alias("id_a"), F.col("sh").alias("ha")), "conv_id_a")
+        .join(payload.select(F.col("cid").alias("conv_id_b"),
+                             F.col("did").alias("id_b"), F.col("sh").alias("hb")), "conv_id_b")
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"), "hamming")
+    ), stats
+
+
+def ngram_jaccard_dedup(
+    docs: DataFrame,
+    block_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact char-n-gram Jaccard >= threshold within a cheap block column
+    (size-ratio prefilter + JVM array intersection)."""
+    g = docs.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("id"),
+        _ngram_col(text_col, n).alias("g"),
+    ).withColumn("sz", F.size("g"))
+    a = g.select("blk", F.col("id").alias("id_a"), F.col("g").alias("ga"), F.col("sz").alias("sa"))
+    b = g.select("blk", F.col("id").alias("id_b"), F.col("g").alias("gb"), F.col("sz").alias("sb"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.least("sa", "sb") >= threshold * F.greatest("sa", "sb"))
+        .withColumn("jacc",
+                    F.size(F.array_intersect("ga", "gb")) / F.size(F.array_union("ga", "gb")))
+        .filter(F.col("jacc") >= threshold)
+        .select("id_a", "id_b", F.round("jacc", 6).alias("jacc"))
+    )
+
+
+def embedding_cosine_dedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    seed: int = 42,
+    block_cap: int = 5000,
+) -> tuple[DataFrame, BlockingStats]:
+    """Near-dup by cosine >= threshold; candidates from random-hyperplane
+    LSH sign buckets (operators/ann.py), verified with an exact JVM dot."""
+    from neural_entity_matching_spark.operators.ann import hyperplane_bucket_udf
+
+    b = hyperplane_bucket_udf(n_planes=n_planes, seed=seed)
+    keyed = vectors.select(
+        F.col(id_col).cast("string").alias("conv_id"),
+        b(F.col(vec_col)).alias("block_key"),
+    ).withColumn("block_key", F.col("block_key").cast("string"))
+    cand, stats = pairs_from_block_keys(keyed, block_cap=block_cap)
+    dot = "aggregate(zip_with({0}, {1}, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, v) -> a + v)"
+    payload = vectors.select(
+        F.col(id_col).cast("string").alias("cid"), F.col(id_col).alias("did"),
+        F.col(vec_col).alias("e"),
+    ).withColumn("nrm", F.expr("sqrt(" + dot.format("e", "e") + ")"))
+    return (
+        cand.join(payload.select(F.col("cid").alias("conv_id_a"), F.col("did").alias("id_a"),
+                                 F.col("e").alias("ea"), F.col("nrm").alias("na")), "conv_id_a")
+        .join(payload.select(F.col("cid").alias("conv_id_b"), F.col("did").alias("id_b"),
+                             F.col("e").alias("eb"), F.col("nrm").alias("nb")), "conv_id_b")
+        .withColumn("cos_sim", F.expr(dot.format("ea", "eb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+                F.round("cos_sim", 6).alias("cos_sim"))
+    ), stats
