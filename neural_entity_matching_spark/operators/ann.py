@@ -31,6 +31,15 @@ def _with_norm(df: DataFrame, vec_col: str, out: str = "nrm") -> DataFrame:
     return df.withColumn(out, F.expr("sqrt(" + _DOT.format(vec_col, vec_col) + ")"))
 
 
+def _safe_cos(a: str, b: str, na: str, nb: str):
+    """Cosine with zero-norm guard (ANSI mode makes x/0 an error, and a
+    zero vector is a legitimate payload, e.g. an empty document)."""
+    denom = F.col(na) * F.col(nb)
+    return F.when(
+        denom > 0, F.round(F.expr(_DOT.format(a, b)) / denom, 6)
+    ).otherwise(F.lit(0.0))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -49,8 +58,7 @@ def brute_force_topk(
     pairs = (
         F.broadcast(q).crossJoin(c)
         .filter(F.col("q_id") != F.col("nn_id"))
-        .withColumn("cos_sim",
-                    F.round(F.expr(_DOT.format("qe", "ce")) / (F.col("qn") * F.col("cn")), 6))
+        .withColumn("cos_sim", _safe_cos("qe", "ce", "qn", "cn"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
     return (
@@ -125,8 +133,7 @@ def lsh_topk(
     scored = (
         _with_norm(cand, "qe", "qn")
         .transform(lambda df: _with_norm(df, "ce", "cn"))
-        .withColumn("cos_sim",
-                    F.round(F.expr(_DOT.format("qe", "ce")) / (F.col("qn") * F.col("cn")), 6))
+        .withColumn("cos_sim", _safe_cos("qe", "ce", "qn", "cn"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
     return (
@@ -194,8 +201,7 @@ def ivf_topk(
     scored = (
         _with_norm(cand, "qe", "qn")
         .transform(lambda df: _with_norm(df, "ce", "cn"))
-        .withColumn("cos_sim",
-                    F.round(F.expr(_DOT.format("qe", "ce")) / (F.col("qn") * F.col("cn")), 6))
+        .withColumn("cos_sim", _safe_cos("qe", "ce", "qn", "cn"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
     return (

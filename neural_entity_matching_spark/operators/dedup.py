@@ -225,7 +225,13 @@ def embedding_cosine_dedup(
                                  F.col("e").alias("ea"), F.col("nrm").alias("na")), "conv_id_a")
         .join(payload.select(F.col("cid").alias("conv_id_b"), F.col("did").alias("id_b"),
                              F.col("e").alias("eb"), F.col("nrm").alias("nb")), "conv_id_b")
-        .withColumn("cos_sim", F.expr(dot.format("ea", "eb")) / (F.col("na") * F.col("nb")))
+        .withColumn(
+            "cos_sim",
+            F.when(
+                F.col("na") * F.col("nb") > 0,
+                F.expr(dot.format("ea", "eb")) / (F.col("na") * F.col("nb")),
+            ).otherwise(F.lit(0.0)),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select(F.least("id_a", "id_b").alias("id_a"),
                 F.greatest("id_a", "id_b").alias("id_b"),
