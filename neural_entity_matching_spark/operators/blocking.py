@@ -120,6 +120,61 @@ def pairs_from_block_keys(
     return pairs, stats
 
 
+def salted_pairs_from_block_keys(
+    keys: DataFrame,
+    block_cap: int = 200,
+    salt: int = 8,
+    id_col: str = "conv_id",
+) -> tuple[DataFrame, BlockingStats]:
+    """Skew-spread variant of ``pairs_from_block_keys`` (north rule:
+    explicit salting). The left side of the self-join gets a deterministic
+    salt ``hash(id) % salt`` appended to the join key; the right side is
+    replicated ``salt`` times, once per salt value. Every pair still meets
+    exactly once, but a hot block's work fans out over ``salt`` reducers
+    instead of one straggler task.
+
+    Caps still apply above the salted path: salting bounds per-task skew,
+    the cap bounds total quadratic work per block. Use this when block_cap
+    must be large (e.g. dedup with legitimate big near-dup families)."""
+    sizes = keys.groupBy("block_key").agg(F.count("*").alias("block_size"))
+    stats_row = sizes.agg(
+        F.count("*").alias("total"),
+        F.sum(F.when(F.col("block_size") > block_cap, 1).otherwise(0)).alias("over"),
+        F.sum(
+            F.when(F.col("block_size") > block_cap, F.col("block_size")).otherwise(0)
+        ).alias("dropped"),
+    ).collect()[0]
+    stats = BlockingStats(
+        total_blocks=stats_row["total"] or 0,
+        oversized_blocks=stats_row["over"] or 0,
+        dropped_memberships=stats_row["dropped"] or 0,
+        capped_at=block_cap,
+        extra={"salt": salt},
+    )
+    eligible = sizes.filter(
+        (F.col("block_size") >= 2) & (F.col("block_size") <= block_cap)
+    ).select("block_key")
+    pruned = keys.join(eligible, "block_key")
+
+    a = pruned.select(
+        "block_key",
+        F.col(id_col).alias("conv_id_a"),
+        F.pmod(F.xxhash64(id_col), F.lit(salt)).alias("salt"),
+    )
+    b = pruned.select(
+        "block_key",
+        F.col(id_col).alias("conv_id_b"),
+        F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("salt"),
+    )
+    pairs = (
+        a.join(b, ["block_key", "salt"])
+        .filter(F.col("conv_id_a") < F.col("conv_id_b"))
+        .select("conv_id_a", "conv_id_b")
+        .dropDuplicates(["conv_id_a", "conv_id_b"])
+    )
+    return pairs, stats
+
+
 def lsh_block(
     signatures: DataFrame,
     num_hashes: int = 128,
