@@ -87,7 +87,10 @@ def pairs_from_block_keys(
     the north rule requires bounded caps). Pair volume per surviving block
     is <= cap*(cap-1)/2.
     """
-    sizes = keys.groupBy("block_key").agg(F.count("*").alias("block_size"))
+    # keys feeds three consumers (stats, eligibility, both join sides) —
+    # persist so the upstream band-key UDF runs once, not four times
+    keys = keys.persist()
+    sizes = keys.groupBy("block_key").agg(F.count("*").alias("block_size")).persist()
     stats_row = sizes.agg(
         F.count("*").alias("total"),
         F.sum(F.when(F.col("block_size") > block_cap, 1).otherwise(0)).alias("over"),
@@ -136,7 +139,8 @@ def salted_pairs_from_block_keys(
     Caps still apply above the salted path: salting bounds per-task skew,
     the cap bounds total quadratic work per block. Use this when block_cap
     must be large (e.g. dedup with legitimate big near-dup families)."""
-    sizes = keys.groupBy("block_key").agg(F.count("*").alias("block_size"))
+    keys = keys.persist()
+    sizes = keys.groupBy("block_key").agg(F.count("*").alias("block_size")).persist()
     stats_row = sizes.agg(
         F.count("*").alias("total"),
         F.sum(F.when(F.col("block_size") > block_cap, 1).otherwise(0)).alias("over"),

@@ -32,23 +32,36 @@ def featurize_pairs(
     candidates: DataFrame,
     signatures: DataFrame,
     with_jaro_winkler: bool = False,
+    lev_prefix: int | None = 512,
 ) -> DataFrame:
     """Attach (sig_a, sig_b) payloads and compute pair features.
 
     Hot path is JVM-only (levenshtein / array jaccard / lengths); the
     Jaro-Winkler pandas UDF is opt-in (Arrow batch per partition).
+
+    ``lev_prefix``: levenshtein is O(len_a * len_b) PER PAIR — on unbounded
+    multi-turn signatures that term dominates the whole pipeline, so the
+    edit ratio is computed over the first ``lev_prefix`` normalized chars
+    (None = unbounded). Token-Jaccard and length features still see the
+    full signature. At 10^12-turn scale a bounded edit window is the only
+    viable contract; the F1 gate is enforced on exactly this definition.
+
     Scale note: both payload joins shuffle on conv_id — the same key the
     signature table is already hash-partitioned on, so AQE keeps them
     cheap; candidates is the smaller post-blocking side.
     """
     sig = signatures.select("conv_id", "sig_text")
+    la, lb = F.col("sig_a"), F.col("sig_b")
+    if lev_prefix is not None:
+        la = F.substring("sig_a", 1, lev_prefix)
+        lb = F.substring("sig_b", 1, lev_prefix)
     out = (
         candidates
         .join(sig.withColumnRenamed("conv_id", "conv_id_a")
                  .withColumnRenamed("sig_text", "sig_a"), "conv_id_a")
         .join(sig.withColumnRenamed("conv_id", "conv_id_b")
                  .withColumnRenamed("sig_text", "sig_b"), "conv_id_b")
-        .withColumn("lev_ratio", lev_ratio(F.col("sig_a"), F.col("sig_b")))
+        .withColumn("lev_ratio", lev_ratio(la, lb))
         .withColumn("token_jaccard", token_jaccard(F.col("sig_a"), F.col("sig_b")))
         .withColumn("len_ratio", len_ratio(F.col("sig_a"), F.col("sig_b")))
     )

@@ -370,25 +370,10 @@ def _ngram_expr(col_name: str, n: int) -> F.Column:
 def q_ngram_jaccard_dedup(spark, sf_dir):
     """Char 3-gram Jaccard near-dup detection within a cheap block (same
     source) — the n-gram-Jaccard dedup primitive, all JVM array ops."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", "source", _ngram_expr("text", 3).alias("g")
-    )
-    a = docs.select("source", F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
-    b = docs.select("source", F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
-    return (
-        a.join(b, "source")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "jacc",
-            F.round(
-                F.size(F.array_intersect("ga", "gb"))
-                / F.size(F.array_union("ga", "gb")),
-                6,
-            ),
-        )
-        .filter(F.col("jacc") >= 0.6)
-        .select("id_a", "id_b", "jacc")
-    )
+    from neural_entity_matching_spark.operators.dedup import ngram_jaccard_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_dedup(docs, block_col="source", n=3, threshold=0.6)
 
 
 SQL_NGRAM_JACCARD_DEDUP = """
@@ -411,36 +396,16 @@ def q_minhash_lsh_dedup(spark, sf_dir):
     candidates; exact char-5-gram Jaccard >= 0.4 verifies them. The oracle
     is the brute-force O(n^2) join — LSH at r=4,b=16 has p(detect) ~ 1 at
     the observed dup similarity (all true pairs >= 0.92; bulk <= 0.31),
-    so candidates ⊇ true pairs and verification makes the result exact."""
-    docs = _t(spark, sf_dir, "documents")
-    udf = band_keys_udf(num_hashes=64, bands=16, char_ngram=5, seed=42)
-    keys = (
-        docs.select(F.col("doc_id").cast("string").alias("conv_id"), F.trim("text").alias("t"))
-        .select("conv_id", F.posexplode(udf(F.col("t"))).alias("band_idx", "band_hash"))
-        .select("conv_id", F.concat_ws(":", "band_idx", "band_hash").alias("block_key"))
+    so candidates ⊇ true pairs and verification makes the result exact.
+    Note the verify step trims the text exactly as the fingerprint does."""
+    from neural_entity_matching_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = _t(spark, sf_dir, "documents").withColumn("text", F.trim("text"))
+    pairs, _stats = minhash_lsh_dedup(
+        docs, num_hashes=64, bands=16, char_ngram=5, seed=42,
+        threshold=0.4, block_cap=1000,
     )
-    cand, _ = pairs_from_block_keys(keys, block_cap=1000)
-    g = docs.select(
-        F.col("doc_id").cast("string").alias("cid"),
-        F.col("doc_id").alias("did"),
-        _ngram_expr("text", 5).alias("g"),
-    )
-    return (
-        cand.join(g.select(F.col("cid").alias("conv_id_a"), F.col("did").alias("id_a"),
-                           F.col("g").alias("ga")), "conv_id_a")
-        .join(g.select(F.col("cid").alias("conv_id_b"), F.col("did").alias("id_b"),
-                       F.col("g").alias("gb")), "conv_id_b")
-        .withColumn(
-            "jacc",
-            F.size(F.array_intersect("ga", "gb")) / F.size(F.array_union("ga", "gb")),
-        )
-        .filter(F.col("jacc") >= 0.4)
-        .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
-            F.round("jacc", 6).alias("jacc"),
-        )
-    )
+    return pairs
 
 
 SQL_MINHASH_LSH_DEDUP = """
