@@ -95,6 +95,28 @@ def pairwise_f1(
     return PairwiseF1(tp, fp, fn, precision, recall, f1)
 
 
+def average_precision(scored: DataFrame, score_col: str = "score",
+                      label_col: str = "y") -> float:
+    """Average precision = sum over positives of precision@rank, / n_pos —
+    the distributed form of sklearn average_precision_score used per
+    model/split in the reference (evaluation_functions.py:231-255).
+    One window pass over scores (desc), ties broken pessimistically by
+    label asc so duplicated scores don't inflate AP."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc(score_col), F.asc(label_col))
+    ranked = scored.select(
+        F.col(label_col).alias("y"), F.row_number().over(w).alias("rank")
+    ).withColumn("cum_pos", F.sum("y").over(
+        Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ))
+    agg = ranked.filter(F.col("y") == 1).agg(
+        F.sum(F.col("cum_pos") / F.col("rank")).alias("s"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    return float(agg["s"] / agg["n"]) if agg["n"] else 0.0
+
+
 def pr_curve(scored: DataFrame, n_buckets: int = 100) -> DataFrame:
     """Threshold sweep over bucketized scores -> (threshold, precision,
     recall) rows; average precision downstream. Distributed analogue of
