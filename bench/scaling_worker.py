@@ -42,7 +42,10 @@ def main() -> None:
     candidates, _ = lsh_block(
         sigs, num_hashes=128, bands=64, char_ngram=8, seed=42, block_cap=35
     )
-    scored = threshold_scorer(featurize_pairs(candidates, sigs), threshold=0.55)
+    scored = threshold_scorer(
+        featurize_pairs(candidates, sigs, broadcast_signatures=True),
+        threshold=0.55,
+    )
     n_pairs = scored.count()
     n_matches = scored.filter(F.col("is_match") == 1).count()
     wall = time.monotonic() - t0

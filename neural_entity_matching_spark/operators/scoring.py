@@ -33,6 +33,7 @@ def featurize_pairs(
     signatures: DataFrame,
     with_jaro_winkler: bool = False,
     lev_prefix: int | None = 512,
+    broadcast_signatures: bool = False,
 ) -> DataFrame:
     """Attach (sig_a, sig_b) payloads and compute pair features.
 
@@ -51,6 +52,12 @@ def featurize_pairs(
     cheap; candidates is the smaller post-blocking side.
     """
     sig = signatures.select("conv_id", "sig_text")
+    if broadcast_signatures:
+        # Both payload joins become broadcast-hash joins — zero shuffle of
+        # the (much larger) pair table. Only valid while the signature
+        # table fits an executor; at 10^12-turn scale leave False and let
+        # AQE plan the shuffled join on the bucketed conv_id.
+        sig = F.broadcast(sig)
     la, lb = F.col("sig_a"), F.col("sig_b")
     if lev_prefix is not None:
         la = F.substring("sig_a", 1, lev_prefix)
