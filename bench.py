@@ -44,10 +44,7 @@ def run_er_pipeline(spark, n_base: int) -> tuple[float, int, dict]:
     from neural_entity_matching_spark.functions.normalize import build_signatures
     from neural_entity_matching_spark.operators.blocking import lsh_block
     from neural_entity_matching_spark.operators.clustering import connected_components
-    from neural_entity_matching_spark.operators.scoring import (
-        featurize_pairs,
-        threshold_scorer,
-    )
+    from neural_entity_matching_spark.operators.scoring import fast_threshold_score
     from neural_entity_matching_spark.sources.synth import to_spark
 
     transcripts, _, _ = to_spark(spark, n_base=n_base, seed=42)
@@ -59,7 +56,9 @@ def run_er_pipeline(spark, n_base: int) -> tuple[float, int, dict]:
     candidates, stats = lsh_block(
         sigs, num_hashes=128, bands=64, char_ngram=8, seed=42, block_cap=35
     )
-    scored = threshold_scorer(featurize_pairs(candidates, sigs), threshold=0.55).cache()
+    scored = fast_threshold_score(
+        candidates, sigs, threshold=0.55, broadcast_signatures=True
+    ).cache()
     n_pairs = scored.count()
     clusters = connected_components(
         scored.filter(F.col("is_match") == 1).select("conv_id_a", "conv_id_b"),

@@ -123,6 +123,67 @@ def pairs_from_block_keys(
     return pairs, stats
 
 
+def grouped_pairs_from_block_keys(
+    keys: DataFrame,
+    block_cap: int = 200,
+    id_col: str = "conv_id",
+) -> tuple[DataFrame, BlockingStats]:
+    """Single-shuffle pair generation: window-count per block (bounded by
+    the cap BEFORE any list is collected), ``collect_list`` of members,
+    JVM combination expansion, distinct.
+
+    Same output as ``pairs_from_block_keys`` but one exchange on block_key
+    instead of three (sizes groupBy + eligibility join + self-join) — the
+    cross-executor shuffle volume is what anti-scaled on the wall clock.
+    Mega blocks never materialize a list: rows beyond cap+1 are truncated
+    by row_number *inside the same exchange*, and any block whose true
+    size exceeds the cap is dropped and counted, exactly like the join
+    form. Per-block pair fan-out is bounded by cap*(cap-1)/2.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("block_key").orderBy(id_col)
+    keyed = (
+        keys.withColumn("rn", F.row_number().over(w))
+        .withColumn("bs", F.count("*").over(Window.partitionBy("block_key")))
+        .persist()
+    )
+    stats_row = (
+        keyed.filter(F.col("rn") == 1)
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(F.when(F.col("bs") > block_cap, 1).otherwise(0)).alias("over"),
+            F.sum(
+                F.when(F.col("bs") > block_cap, F.col("bs")).otherwise(0)
+            ).alias("dropped"),
+        )
+        .collect()[0]
+    )
+    stats = BlockingStats(
+        total_blocks=stats_row["total"] or 0,
+        oversized_blocks=stats_row["over"] or 0,
+        dropped_memberships=stats_row["dropped"] or 0,
+        capped_at=block_cap,
+        extra={"strategy": "grouped"},
+    )
+    blocks = (
+        keyed.filter((F.col("bs") >= 2) & (F.col("bs") <= block_cap))
+        .groupBy("block_key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+    )
+    pair_expr = (
+        "flatten(transform(sequence(1, size(ids) - 1), i -> "
+        "transform(slice(ids, i + 1, size(ids) - i), "
+        "y -> struct(element_at(ids, i) AS conv_id_a, y AS conv_id_b))))"
+    )
+    pairs = (
+        blocks.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.conv_id_a"), F.col("p.conv_id_b"))
+        .dropDuplicates(["conv_id_a", "conv_id_b"])
+    )
+    return pairs, stats
+
+
 def salted_pairs_from_block_keys(
     keys: DataFrame,
     block_cap: int = 200,
@@ -186,9 +247,17 @@ def lsh_block(
     char_ngram: int = 8,
     seed: int = 42,
     block_cap: int = 200,
+    strategy: str = "grouped",
 ) -> tuple[DataFrame, BlockingStats]:
-    """Full MinHash-LSH blocker: signatures -> unique candidate pairs."""
+    """Full MinHash-LSH blocker: signatures -> unique candidate pairs.
+
+    ``strategy``: 'grouped' (single exchange, default), 'join' (self-join
+    form), or 'salted' (skew-spread join for very large caps)."""
     keys = lsh_band_keys(signatures, num_hashes, bands, char_ngram, seed)
+    if strategy == "grouped":
+        return grouped_pairs_from_block_keys(keys, block_cap=block_cap)
+    if strategy == "salted":
+        return salted_pairs_from_block_keys(keys, block_cap=block_cap)
     return pairs_from_block_keys(keys, block_cap=block_cap)
 
 

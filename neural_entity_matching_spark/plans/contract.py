@@ -22,10 +22,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from neural_entity_matching_spark.functions.minhash import band_keys_udf
-from neural_entity_matching_spark.operators.blocking import pairs_from_block_keys
-
-
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -22,6 +22,7 @@ from neural_entity_matching_spark.functions.normalize import build_signatures
 from neural_entity_matching_spark.operators.blocking import lsh_block
 from neural_entity_matching_spark.operators.clustering import connected_components
 from neural_entity_matching_spark.operators.scoring import (
+    fast_threshold_score,
     featurize_pairs,
     threshold_scorer,
 )
@@ -38,6 +39,13 @@ class PipelineConfig:
     threshold: float = 0.55
     w_lev: float = 0.5
     w_jacc: float = 0.5
+    # broadcast the signature table into the featurize joins — valid while
+    # signatures fit an executor; keep False at full table scale
+    broadcast_signatures: bool = False
+    # exact_scores=False uses the banded-levenshtein cascade: identical
+    # match decisions, exact scores on matches, upper-bounded scores on
+    # non-matches, ~order-of-magnitude less edit-distance work
+    exact_scores: bool = False
     version: str = "1"
 
     def fingerprint(self, stage: str, upstream: str) -> str:
@@ -124,13 +132,21 @@ def run_pipeline(
     cand_res = stage("candidates", sig_res.snapshot_id, compute_candidates,
                      repartition_by=["conv_id_a"])
 
+    def compute_scored():
+        if cfg.exact_scores:
+            return threshold_scorer(
+                featurize_pairs(cand_res.df, sig_res.df,
+                                broadcast_signatures=cfg.broadcast_signatures),
+                threshold=cfg.threshold, w_lev=cfg.w_lev, w_jacc=cfg.w_jacc,
+            )
+        return fast_threshold_score(
+            cand_res.df, sig_res.df, threshold=cfg.threshold,
+            w_lev=cfg.w_lev, w_jacc=cfg.w_jacc,
+            broadcast_signatures=cfg.broadcast_signatures,
+        )
+
     scored_res = stage(
-        "scored",
-        cand_res.snapshot_id,
-        lambda: threshold_scorer(
-            featurize_pairs(cand_res.df, sig_res.df),
-            threshold=cfg.threshold, w_lev=cfg.w_lev, w_jacc=cfg.w_jacc,
-        ),
+        "scored", cand_res.snapshot_id, compute_scored,
         repartition_by=["conv_id_a"],
     )
 
