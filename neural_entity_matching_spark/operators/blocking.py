@@ -10,12 +10,22 @@ Three blockers, mirroring the reference grid
 
 The reference walks Python dict buckets and emits ``itertools.combinations``
 per bucket — a mega-bucket is quadratic with no guard
-(blocking_algorithms.py:135-140). Here pair generation is a self-equi-join
-on the block key with an ``id_a < id_b`` predicate, and hot blocks are
-handled EXPLICITLY (north rule): a bounded block-size cap drops oversized
-buckets *visibly* (counted + returned in stats, never silent), and the
-pair join runs under AQE skew-join. At cluster scale the block-key join is
-the skew hot spot; the cap bounds per-key work to cap*(cap-1)/2.
+(blocking_algorithms.py:135-140). Here pair generation is distributed, and
+hot blocks are handled EXPLICITLY (north rule): a bounded block-size cap
+drops oversized buckets *visibly* (counted + returned in stats, never
+silent), and joins run under AQE skew handling.
+
+Shuffle discipline (this is the stage that binds at cluster scale):
+
+* ids are dictionary-encoded to int64 (``xxhash64``, collision-checked)
+  before any exchange — pair rows shuffle as 16 bytes instead of two
+  strings, and the final decode back to real ids is a broadcast map join;
+* block keys are int64 where the producer allows (LSH band keys);
+* oversized blocks are truncated to cap+1 members inside the first
+  exchange (row_number), so a mega block never materializes a list nor
+  fans out pairs that a later filter would drop;
+* intermediates are persisted only while pair generation runs and are
+  unpersisted once the pair set is materialized (``materialize=True``).
 """
 
 from __future__ import annotations
@@ -49,32 +59,102 @@ def lsh_band_keys(
     text_col: str = "sig_text",
     id_col: str = "conv_id",
 ) -> DataFrame:
-    """(id, block_key) rows — one per (doc, band).
+    """(id, block_key) rows — one per (doc, band), block_key an int64.
 
     block_key is deterministic and partition-invariant (seeded hashing only;
-    SURVEY.md §7 risk 2). These ARE the "fixed blocking keys" the F1 gate
-    is evaluated at (frozen params per FIXTURES.md §4).
+    SURVEY.md §7 risk 2). The band hash is already salted by band index
+    inside the UDF, so the raw int64 IS the cross-band-unique key — keeping
+    it numeric (instead of a "band:hash" string) cuts the band-key exchange
+    bytes ~3x. These ARE the "fixed blocking keys" the F1 gate is evaluated
+    at (frozen params per FIXTURES.md §4).
     """
     udf = band_keys_udf(num_hashes=num_hashes, bands=bands,
                         char_ngram=char_ngram, seed=seed)
     return (
         signatures
         .select(F.col(id_col).alias("conv_id"), udf(F.col(text_col)).alias("bands"))
-        .select(
-            "conv_id",
-            F.posexplode("bands").alias("band_idx", "band_hash"),
+        .select("conv_id", F.explode("bands").alias("block_key"))
+    )
+
+
+def _prepare_keys(
+    keys: DataFrame, id_col: str, encode_ids: bool
+) -> tuple[DataFrame, DataFrame | None, list[DataFrame]]:
+    """Dictionary-encode the id column to int64 (``encode_ids=True``).
+
+    Returns (narrow keys (iid, block_key), mapping (iid, _id) or None,
+    persisted intermediates to release). The raw key table is persisted
+    FIRST so the (typically expensive) upstream key producer — e.g. the
+    minhash band UDF — runs exactly once across the mapping build, the
+    stats pass and pair generation. The mapping dedup is partial-aggregated
+    (ids repeat once per band within a partition, so the exchange carries
+    ~n_docs rows, not n_docs * bands) and collision-checked: a 64-bit
+    collision would merge two entities, so it fails loudly (callers can
+    pre-assign dense int ids and pass ``encode_ids=False`` if their id
+    space ever trips this)."""
+    if not encode_ids:
+        narrow = keys.select(F.col(id_col).alias("iid"), "block_key").persist()
+        return narrow, None, [narrow]
+    raw = keys.persist()
+    mapping = (
+        raw.select(F.col(id_col).alias("_id")).dropDuplicates()
+        .withColumn("iid", F.xxhash64(F.col("_id")))
+        .persist()
+    )
+    n_ids = mapping.count()
+    n_iids = mapping.select("iid").distinct().count()
+    if n_ids != n_iids:
+        mapping.unpersist()
+        raw.unpersist()
+        raise ValueError(
+            f"xxhash64 id collision ({n_ids} ids -> {n_iids} hashes); "
+            "pre-assign dense int ids and call with encode_ids=False"
         )
+    narrow = raw.select(F.xxhash64(F.col(id_col)).alias("iid"), "block_key")
+    return narrow, mapping, [raw, mapping]
+
+
+def _decode_pairs(iid_pairs: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Map (iid_a, iid_b) back to real ids via two broadcast map joins and
+    re-canonicalize to conv_id_a < conv_id_b in id space."""
+    m = F.broadcast(mapping)
+    return (
+        iid_pairs
+        .join(m.select(F.col("iid").alias("iid_a"), F.col("_id").alias("_ida")), "iid_a")
+        .join(m.select(F.col("iid").alias("iid_b"), F.col("_id").alias("_idb")), "iid_b")
         .select(
-            "conv_id",
-            F.concat_ws(":", F.col("band_idx"), F.col("band_hash")).alias("block_key"),
+            F.least("_ida", "_idb").alias("conv_id_a"),
+            F.greatest("_ida", "_idb").alias("conv_id_b"),
         )
     )
+
+
+def _finalize(
+    pairs: DataFrame,
+    stats: BlockingStats,
+    materialize: bool,
+    release: list[DataFrame],
+) -> tuple[DataFrame, BlockingStats]:
+    """Materialize the pair set (persist + count -> stats.extra['n_pairs'])
+    and release every intermediate persist. With ``materialize=False`` the
+    caller owns materialization and the intermediates stay cached (callers
+    must unpersist via the returned stats.extra['_persisted'])."""
+    if materialize:
+        pairs = pairs.persist()
+        stats.extra["n_pairs"] = pairs.count()
+        for df in release:
+            df.unpersist()
+    else:
+        stats.extra["_persisted"] = release
+    return pairs, stats
 
 
 def pairs_from_block_keys(
     keys: DataFrame,
     block_cap: int = 200,
     id_col: str = "conv_id",
+    encode_ids: bool = True,
+    materialize: bool = True,
 ) -> tuple[DataFrame, BlockingStats]:
     """Self-join (block_key, id) on block_key with ``id_a < id_b``.
 
@@ -87,10 +167,9 @@ def pairs_from_block_keys(
     the north rule requires bounded caps). Pair volume per surviving block
     is <= cap*(cap-1)/2.
     """
-    # keys feeds three consumers (stats, eligibility, both join sides) —
-    # persist so the upstream band-key UDF runs once, not four times
-    keys = keys.persist()
-    sizes = keys.groupBy("block_key").agg(F.count("*").alias("block_size")).persist()
+    keyed, mapping, release = _prepare_keys(keys, id_col, encode_ids)
+    sizes = keyed.groupBy("block_key").agg(F.count("*").alias("block_size")).persist()
+    release.append(sizes)
     stats_row = sizes.agg(
         F.count("*").alias("total"),
         F.sum(F.when(F.col("block_size") > block_cap, 1).otherwise(0)).alias("over"),
@@ -103,6 +182,7 @@ def pairs_from_block_keys(
         oversized_blocks=stats_row["over"] or 0,
         dropped_memberships=stats_row["dropped"] or 0,
         capped_at=block_cap,
+        extra={"strategy": "join"},
     )
 
     eligible = sizes.filter(
@@ -110,44 +190,56 @@ def pairs_from_block_keys(
     ).select("block_key")
     # AQE coalesces / splits this join at runtime; eligible is usually the
     # small side but can be large — leave the strategy to the optimizer.
-    pruned = keys.join(eligible, "block_key")
+    pruned = keyed.join(eligible, "block_key")
 
-    a = pruned.select(F.col("block_key"), F.col(id_col).alias("conv_id_a"))
-    b = pruned.select(F.col("block_key"), F.col(id_col).alias("conv_id_b"))
+    a = pruned.select(F.col("block_key"), F.col("iid").alias("iid_a"))
+    b = pruned.select(F.col("block_key"), F.col("iid").alias("iid_b"))
     pairs = (
         a.join(b, "block_key")
-        .filter(F.col("conv_id_a") < F.col("conv_id_b"))
-        .select("conv_id_a", "conv_id_b")
-        .dropDuplicates(["conv_id_a", "conv_id_b"])
+        .filter(F.col("iid_a") < F.col("iid_b"))
+        .select("iid_a", "iid_b")
+        .dropDuplicates(["iid_a", "iid_b"])
     )
-    return pairs, stats
+    if mapping is not None:
+        pairs = _decode_pairs(pairs, mapping)
+    else:
+        pairs = pairs.select(F.col("iid_a").alias("conv_id_a"),
+                             F.col("iid_b").alias("conv_id_b"))
+    return _finalize(pairs, stats, materialize, release)
 
 
 def grouped_pairs_from_block_keys(
     keys: DataFrame,
     block_cap: int = 200,
     id_col: str = "conv_id",
+    encode_ids: bool = True,
+    materialize: bool = True,
 ) -> tuple[DataFrame, BlockingStats]:
-    """Single-shuffle pair generation: window-count per block (bounded by
-    the cap BEFORE any list is collected), ``collect_list`` of members,
-    JVM combination expansion, distinct.
+    """Single-shuffle pair generation: one exchange on block_key computes
+    per-block row_number + size, rows beyond cap+1 are truncated *before*
+    ``collect_list`` (a mega block never materializes a full member list),
+    oversized blocks (true size > cap) are dropped and counted, surviving
+    blocks expand to combinations JVM-side, then distinct.
 
     Same output as ``pairs_from_block_keys`` but one exchange on block_key
     instead of three (sizes groupBy + eligibility join + self-join) — the
-    cross-executor shuffle volume is what anti-scaled on the wall clock.
-    Mega blocks never materialize a list: rows beyond cap+1 are truncated
-    by row_number *inside the same exchange*, and any block whose true
-    size exceeds the cap is dropped and counted, exactly like the join
-    form. Per-block pair fan-out is bounded by cap*(cap-1)/2.
+    cross-executor shuffle volume is what anti-scales on the wall clock.
+    Per-block pair fan-out is bounded by cap*(cap-1)/2.
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy("block_key").orderBy(id_col)
+    narrow, mapping, release = _prepare_keys(keys, id_col, encode_ids)
+    w = Window.partitionBy("block_key").orderBy("iid")
     keyed = (
-        keys.withColumn("rn", F.row_number().over(w))
+        narrow.withColumn("rn", F.row_number().over(w))
         .withColumn("bs", F.count("*").over(Window.partitionBy("block_key")))
+        # truncate INSIDE the exchange: rows past cap+1 never reach the
+        # list aggregation (cap+1 keeps enough to distinguish "== cap"
+        # from "> cap"); blocks with bs > cap are dropped below anyway
+        .filter(F.col("rn") <= block_cap + 1)
         .persist()
     )
+    release.append(keyed)
     stats_row = (
         keyed.filter(F.col("rn") == 1)
         .agg(
@@ -169,19 +261,24 @@ def grouped_pairs_from_block_keys(
     blocks = (
         keyed.filter((F.col("bs") >= 2) & (F.col("bs") <= block_cap))
         .groupBy("block_key")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .agg(F.sort_array(F.collect_list("iid")).alias("ids"))
     )
     pair_expr = (
         "flatten(transform(sequence(1, size(ids) - 1), i -> "
         "transform(slice(ids, i + 1, size(ids) - i), "
-        "y -> struct(element_at(ids, i) AS conv_id_a, y AS conv_id_b))))"
+        "y -> struct(element_at(ids, i) AS iid_a, y AS iid_b))))"
     )
     pairs = (
         blocks.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select(F.col("p.conv_id_a"), F.col("p.conv_id_b"))
-        .dropDuplicates(["conv_id_a", "conv_id_b"])
+        .select(F.col("p.iid_a"), F.col("p.iid_b"))
+        .dropDuplicates(["iid_a", "iid_b"])
     )
-    return pairs, stats
+    if mapping is not None:
+        pairs = _decode_pairs(pairs, mapping)
+    else:
+        pairs = pairs.select(F.col("iid_a").alias("conv_id_a"),
+                             F.col("iid_b").alias("conv_id_b"))
+    return _finalize(pairs, stats, materialize, release)
 
 
 def salted_pairs_from_block_keys(
@@ -189,6 +286,8 @@ def salted_pairs_from_block_keys(
     block_cap: int = 200,
     salt: int = 8,
     id_col: str = "conv_id",
+    encode_ids: bool = True,
+    materialize: bool = True,
 ) -> tuple[DataFrame, BlockingStats]:
     """Skew-spread variant of ``pairs_from_block_keys`` (north rule:
     explicit salting). The left side of the self-join gets a deterministic
@@ -200,8 +299,9 @@ def salted_pairs_from_block_keys(
     Caps still apply above the salted path: salting bounds per-task skew,
     the cap bounds total quadratic work per block. Use this when block_cap
     must be large (e.g. dedup with legitimate big near-dup families)."""
-    keys = keys.persist()
-    sizes = keys.groupBy("block_key").agg(F.count("*").alias("block_size")).persist()
+    keyed, mapping, release = _prepare_keys(keys, id_col, encode_ids)
+    sizes = keyed.groupBy("block_key").agg(F.count("*").alias("block_size")).persist()
+    release.append(sizes)
     stats_row = sizes.agg(
         F.count("*").alias("total"),
         F.sum(F.when(F.col("block_size") > block_cap, 1).otherwise(0)).alias("over"),
@@ -214,30 +314,35 @@ def salted_pairs_from_block_keys(
         oversized_blocks=stats_row["over"] or 0,
         dropped_memberships=stats_row["dropped"] or 0,
         capped_at=block_cap,
-        extra={"salt": salt},
+        extra={"strategy": "salted", "salt": salt},
     )
     eligible = sizes.filter(
         (F.col("block_size") >= 2) & (F.col("block_size") <= block_cap)
     ).select("block_key")
-    pruned = keys.join(eligible, "block_key")
+    pruned = keyed.join(eligible, "block_key")
 
     a = pruned.select(
         "block_key",
-        F.col(id_col).alias("conv_id_a"),
-        F.pmod(F.xxhash64(id_col), F.lit(salt)).alias("salt"),
+        F.col("iid").alias("iid_a"),
+        F.pmod(F.xxhash64("iid"), F.lit(salt)).alias("salt"),
     )
     b = pruned.select(
         "block_key",
-        F.col(id_col).alias("conv_id_b"),
+        F.col("iid").alias("iid_b"),
         F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("salt"),
     )
     pairs = (
         a.join(b, ["block_key", "salt"])
-        .filter(F.col("conv_id_a") < F.col("conv_id_b"))
-        .select("conv_id_a", "conv_id_b")
-        .dropDuplicates(["conv_id_a", "conv_id_b"])
+        .filter(F.col("iid_a") < F.col("iid_b"))
+        .select("iid_a", "iid_b")
+        .dropDuplicates(["iid_a", "iid_b"])
     )
-    return pairs, stats
+    if mapping is not None:
+        pairs = _decode_pairs(pairs, mapping)
+    else:
+        pairs = pairs.select(F.col("iid_a").alias("conv_id_a"),
+                             F.col("iid_b").alias("conv_id_b"))
+    return _finalize(pairs, stats, materialize, release)
 
 
 def lsh_block(
@@ -248,6 +353,7 @@ def lsh_block(
     seed: int = 42,
     block_cap: int = 200,
     strategy: str = "grouped",
+    materialize: bool = True,
 ) -> tuple[DataFrame, BlockingStats]:
     """Full MinHash-LSH blocker: signatures -> unique candidate pairs.
 
@@ -255,10 +361,13 @@ def lsh_block(
     form), or 'salted' (skew-spread join for very large caps)."""
     keys = lsh_band_keys(signatures, num_hashes, bands, char_ngram, seed)
     if strategy == "grouped":
-        return grouped_pairs_from_block_keys(keys, block_cap=block_cap)
+        return grouped_pairs_from_block_keys(
+            keys, block_cap=block_cap, materialize=materialize)
     if strategy == "salted":
-        return salted_pairs_from_block_keys(keys, block_cap=block_cap)
-    return pairs_from_block_keys(keys, block_cap=block_cap)
+        return salted_pairs_from_block_keys(
+            keys, block_cap=block_cap, materialize=materialize)
+    return pairs_from_block_keys(
+        keys, block_cap=block_cap, materialize=materialize)
 
 
 def token_overlap_block(

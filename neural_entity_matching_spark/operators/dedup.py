@@ -75,9 +75,9 @@ def minhash_lsh_dedup(
     keys = (
         docs.select(F.col(id_col).cast("string").alias("conv_id"),
                     F.trim(F.col(text_col)).alias("t"))
-        .select("conv_id", F.posexplode(udf("t")).alias("band_idx", "band_hash"))
-        .select("conv_id",
-                F.concat_ws(":", "band_idx", "band_hash").alias("block_key"))
+        # band hashes are salted by band index inside the UDF, so the raw
+        # int64 is already cross-band-unique — no string key needed
+        .select("conv_id", F.explode(udf("t")).alias("block_key"))
     )
     cand, stats = pairs_from_block_keys(keys, block_cap=block_cap)
     g = docs.select(
@@ -101,7 +101,9 @@ def minhash_lsh_dedup(
             F.greatest("id_a", "id_b").alias("id_b"),
             F.round("jacc", 6).alias("jacc"),
         )
-    )
+    ).persist()
+    stats.extra["n_verified"] = pairs.count()
+    cand.unpersist()  # candidates were materialized by the blocker
     return pairs, stats
 
 
@@ -147,22 +149,25 @@ def simhash_dedup(
     any pair with <= 3 differing bits agrees on >= 1 band exactly, so an
     equi-join on (band_idx, band_value) has recall 1.0 for d <= 3."""
     d = simhash_table(docs, id_col=id_col, text_col=text_col, seed=seed)
+    # block_key packs (band_idx, 16-bit band value) into one int64 —
+    # numeric keys shuffle ~3x cheaper than "idx:val" strings
     bands = d.select(
-        "id", "sh",
+        "id",
         F.explode(
             F.array(*[
-                F.struct(F.lit(i).alias("band_idx"),
-                         F.shiftrightunsigned("sh", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("band_val"))
+                F.lit(i << 16).cast("long").bitwiseOR(
+                    F.shiftrightunsigned("sh", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                )
                 for i in range(4)
             ])
-        ).alias("b"),
-    ).select("id", "sh", F.concat_ws(":", "b.band_idx", "b.band_val").alias("block_key"))
+        ).alias("block_key"),
+    )
 
     keys = bands.select(F.col("id").cast("string").alias("conv_id"), "block_key")
     cand, stats = pairs_from_block_keys(keys, block_cap=block_cap)
     payload = d.select(F.col("id").cast("string").alias("cid"),
                        F.col("id").alias("did"), "sh")
-    return (
+    pairs = (
         cand.join(payload.select(F.col("cid").alias("conv_id_a"),
                                  F.col("did").alias("id_a"), F.col("sh").alias("ha")), "conv_id_a")
         .join(payload.select(F.col("cid").alias("conv_id_b"),
@@ -171,7 +176,10 @@ def simhash_dedup(
         .filter(F.col("hamming") <= max_hamming)
         .select(F.least("id_a", "id_b").alias("id_a"),
                 F.greatest("id_a", "id_b").alias("id_b"), "hamming")
-    ), stats
+    ).persist()
+    stats.extra["n_verified"] = pairs.count()
+    cand.unpersist()
+    return pairs, stats
 
 
 def ngram_jaccard_dedup(
@@ -225,7 +233,7 @@ def embedding_cosine_dedup(
         F.col(id_col).cast("string").alias("cid"), F.col(id_col).alias("did"),
         F.col(vec_col).alias("e"),
     ).withColumn("nrm", F.expr("sqrt(" + dot.format("e", "e") + ")"))
-    return (
+    pairs = (
         cand.join(payload.select(F.col("cid").alias("conv_id_a"), F.col("did").alias("id_a"),
                                  F.col("e").alias("ea"), F.col("nrm").alias("na")), "conv_id_a")
         .join(payload.select(F.col("cid").alias("conv_id_b"), F.col("did").alias("id_b"),
@@ -241,4 +249,7 @@ def embedding_cosine_dedup(
         .select(F.least("id_a", "id_b").alias("id_a"),
                 F.greatest("id_a", "id_b").alias("id_b"),
                 F.round("cos_sim", 6).alias("cos_sim"))
-    ), stats
+    ).persist()
+    stats.extra["n_verified"] = pairs.count()
+    cand.unpersist()
+    return pairs, stats

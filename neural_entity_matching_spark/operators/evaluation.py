@@ -96,24 +96,49 @@ def pairwise_f1(
 
 
 def average_precision(scored: DataFrame, score_col: str = "score",
-                      label_col: str = "y") -> float:
+                      label_col: str = "y",
+                      quantize: int | None = None) -> float:
     """Average precision = sum over positives of precision@rank, / n_pos —
     the distributed form of sklearn average_precision_score used per
     model/split in the reference (evaluation_functions.py:231-255).
-    One window pass over scores (desc), ties broken pessimistically by
-    label asc so duplicated scores don't inflate AP."""
+    Ties broken pessimistically (label asc within equal scores) so
+    duplicated scores don't inflate AP.
+
+    Scale shape: one hash-aggregate collapses the table to (score, n, pos)
+    groups, and only those GROUPS flow through the ordering window —
+    never the row-level table (a global row_number over 27M scored pairs
+    funnels everything through one task). Within a tie group of size n
+    with p positives, the positives occupy global ranks
+    cum_n-p+1 .. cum_n with cumulative-positive counts cum_p-p+1 .. cum_p,
+    so the group's AP contribution is a closed-form JVM ``aggregate`` over
+    ``sequence(1, p)`` — bit-identical to the row-level ranking.
+
+    ``quantize``: round scores to 1/quantize before grouping, bounding the
+    windowed group count for continuous scores (the pr_curve bucketization);
+    None = exact AP on raw scores."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.desc(score_col), F.asc(label_col))
-    ranked = scored.select(
-        F.col(label_col).alias("y"), F.row_number().over(w).alias("rank")
-    ).withColumn("cum_pos", F.sum("y").over(
-        Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ))
-    agg = ranked.filter(F.col("y") == 1).agg(
-        F.sum(F.col("cum_pos") / F.col("rank")).alias("s"),
-        F.count("*").alias("n"),
-    ).collect()[0]
+    s = F.col(score_col)
+    if quantize is not None:
+        s = F.floor(s * quantize) / quantize
+    g = scored.groupBy(s.alias("_s")).agg(
+        F.count("*").alias("n"), F.sum(label_col).alias("p")
+    )
+    w = Window.orderBy(F.desc("_s")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    g = (
+        g.withColumn("cum_n", F.sum("n").over(w))
+        .withColumn("cum_p", F.sum("p").over(w))
+        .filter(F.col("p") > 0)
+    )
+    agg = g.select(
+        F.expr(
+            "aggregate(sequence(1L, p), 0D,"
+            " (acc, i) -> acc + (cum_p - p + i) / (cum_n - p + i))"
+        ).alias("c"),
+        F.col("p"),
+    ).agg(F.sum("c").alias("s"), F.sum("p").alias("n")).collect()[0]
     return float(agg["s"] / agg["n"]) if agg["n"] else 0.0
 
 

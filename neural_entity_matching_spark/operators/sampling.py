@@ -172,13 +172,20 @@ def difficulty_stratified_sample(
 def train_valid_split(
     pairs: DataFrame, prop_train: float = 0.8, seed: int = 42
 ) -> tuple[DataFrame, DataFrame]:
-    """A5 (reference utilities.py:147-156): deterministic content-hash order
-    + head/tail slice, the cluster-safe version of shuffle + iloc."""
-    h = F.md5(F.concat_ws("\x00", F.lit(seed), *[F.col(c) for c in PAIR_KEY]))
-    w = Window.orderBy(h, *PAIR_KEY)
-    total = pairs.count()
-    k = int(total * prop_train)
-    ranked = pairs.withColumn("_rn", F.row_number().over(w))
-    train = ranked.filter(F.col("_rn") <= k).drop("_rn")
-    valid = ranked.filter(F.col("_rn") > k).drop("_rn")
+    """A5 (reference utilities.py:147-156): deterministic split by content
+    hash modulo — each pair lands in train iff
+    pmod(xxhash64(keys, seed), 1e6) < prop_train*1e6.
+
+    This is a NARROW operation (no shuffle, no global sort): the earlier
+    row_number-over-global-window form funneled the whole pair table
+    through one task. Split sizes are binomial-approximate rather than
+    exactly ``floor(n*prop)`` — the standard contract at cluster scale;
+    membership is a pure function of (content, seed), invariant to
+    partitioning and repeated runs."""
+    h = F.pmod(
+        F.xxhash64(*[F.col(c) for c in PAIR_KEY], F.lit(seed)), F.lit(1_000_000)
+    )
+    cut = int(prop_train * 1_000_000)
+    train = pairs.filter(h < cut)
+    valid = pairs.filter(h >= cut)
     return train, valid

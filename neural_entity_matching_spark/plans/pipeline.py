@@ -115,12 +115,15 @@ def run_pipeline(
         repartition_by=["conv_id"],
     )
 
+    pair_handle: list[DataFrame] = []
+
     def compute_candidates():
         pairs, stats = lsh_block(
             sig_res.df,
             num_hashes=cfg.num_hashes, bands=cfg.bands,
             char_ngram=cfg.char_ngram, seed=cfg.seed, block_cap=cfg.block_cap,
         )
+        pair_handle.append(pairs)  # released after the snapshot write
         report.stages["_blocking_stats"] = {
             "total_blocks": stats.total_blocks,
             "oversized_blocks": stats.oversized_blocks,
@@ -131,6 +134,8 @@ def run_pipeline(
 
     cand_res = stage("candidates", sig_res.snapshot_id, compute_candidates,
                      repartition_by=["conv_id_a"])
+    for h in pair_handle:
+        h.unpersist()
 
     def compute_scored():
         if cfg.exact_scores:

@@ -67,8 +67,16 @@ def test_train_valid_split_deterministic(prepared):
     _, labeled, _, _ = prepared
     t1, v1 = sampling.train_valid_split(labeled, prop_train=0.8, seed=3)
     t2, v2 = sampling.train_valid_split(labeled.repartition(5), prop_train=0.8, seed=3)
-    assert t1.count() == t2.count() == int(labeled.count() * 0.8)
+    # membership is a pure function of content+seed: partition-invariant
     s1 = {tuple(r) for r in t1.select("conv_id_a", "conv_id_b").collect()}
     s2 = {tuple(r) for r in t2.select("conv_id_a", "conv_id_b").collect()}
-    assert s1 == s2
-    assert v1.count() == labeled.count() - t1.count()
+    assert s1 == s2 and t1.count() == t2.count()
+    # exact partition of the input (no row lost or duplicated)
+    total = labeled.count()
+    assert v1.count() == total - t1.count()
+    # binomial-approximate proportions (hash-modulo split, no global sort)
+    assert abs(t1.count() / total - 0.8) < 0.1
+    # different seed -> different split
+    t3, _ = sampling.train_valid_split(labeled, prop_train=0.8, seed=4)
+    s3 = {tuple(r) for r in t3.select("conv_id_a", "conv_id_b").collect()}
+    assert s1 != s3
