@@ -345,6 +345,78 @@ def salted_pairs_from_block_keys(
     return _finalize(pairs, stats, materialize, release)
 
 
+def two_table_pairs_from_block_keys(
+    keys_lhs: DataFrame,
+    keys_rhs: DataFrame,
+    block_cap: int = 200,
+    id_col: str = "conv_id",
+    encode_ids: bool = True,
+    materialize: bool = True,
+) -> tuple[DataFrame, BlockingStats]:
+    """Two-table blocking: cross-side candidate pairs only.
+
+    The reference blocks ACROSS two entity tables (Amazon vs Google) and
+    keeps only lhs x rhs pairs — the lhs/rhs re-alignment at
+    reference script/blocking_algorithms.py:149-172 and every
+    ``run_magellan_models`` call (model_magellan_ml.py:183-193). Here each
+    side's (id, block_key) rows meet in an equi-join on block_key;
+    same-side pairs never form because the join sides are distinct tables.
+
+    Output preserves orientation: ``conv_id_a`` is always from the lhs
+    table, ``conv_id_b`` from the rhs (the reference's ltable/rtable
+    convention) — NOT canonicalized by value order.
+
+    ``block_cap`` applies per side: a block whose lhs OR rhs membership
+    exceeds the cap is dropped and counted (pair volume per surviving
+    block <= cap^2). Blocks present on only one side are inert and are
+    not counted.
+    """
+    la, ma, rel_a = _prepare_keys(keys_lhs, id_col, encode_ids)
+    lb, mb, rel_b = _prepare_keys(keys_rhs, id_col, encode_ids)
+    release = rel_a + rel_b
+    sizes = (
+        la.groupBy("block_key").agg(F.count("*").alias("ca"))
+        .join(lb.groupBy("block_key").agg(F.count("*").alias("cb")), "block_key")
+        .persist()
+    )
+    release.append(sizes)
+    over = (F.col("ca") > block_cap) | (F.col("cb") > block_cap)
+    stats_row = sizes.agg(
+        F.count("*").alias("total"),
+        F.sum(over.cast("int")).alias("over"),
+        F.sum(F.when(over, F.col("ca") + F.col("cb")).otherwise(0)).alias("dropped"),
+    ).collect()[0]
+    stats = BlockingStats(
+        total_blocks=stats_row["total"] or 0,
+        oversized_blocks=stats_row["over"] or 0,
+        dropped_memberships=stats_row["dropped"] or 0,
+        capped_at=block_cap,
+        extra={"strategy": "two_table"},
+    )
+    eligible = sizes.filter(~over).select("block_key")
+    pairs = (
+        la.join(eligible, "block_key")
+        .select("block_key", F.col("iid").alias("iid_a"))
+        .join(lb.select("block_key", F.col("iid").alias("iid_b")), "block_key")
+        .select("iid_a", "iid_b")
+        .dropDuplicates(["iid_a", "iid_b"])
+    )
+    if ma is not None:
+        m_a, m_b = F.broadcast(ma), F.broadcast(mb)
+        pairs = (
+            pairs
+            .join(m_a.select(F.col("iid").alias("iid_a"),
+                             F.col("_id").alias("conv_id_a")), "iid_a")
+            .join(m_b.select(F.col("iid").alias("iid_b"),
+                             F.col("_id").alias("conv_id_b")), "iid_b")
+            .select("conv_id_a", "conv_id_b")
+        )
+    else:
+        pairs = pairs.select(F.col("iid_a").alias("conv_id_a"),
+                             F.col("iid_b").alias("conv_id_b"))
+    return _finalize(pairs, stats, materialize, release)
+
+
 def lsh_block(
     signatures: DataFrame,
     num_hashes: int = 128,
@@ -354,12 +426,23 @@ def lsh_block(
     block_cap: int = 200,
     strategy: str = "grouped",
     materialize: bool = True,
+    signatures_rhs: DataFrame | None = None,
 ) -> tuple[DataFrame, BlockingStats]:
     """Full MinHash-LSH blocker: signatures -> unique candidate pairs.
 
     ``strategy``: 'grouped' (single exchange, default), 'join' (self-join
-    form), or 'salted' (skew-spread join for very large caps)."""
+    form), or 'salted' (skew-spread join for very large caps).
+
+    ``signatures_rhs``: two-table mode (reference ltable/rtable) — band
+    keys are computed for both sides with the SAME seeded hash family and
+    only cross-side pairs are emitted (strategy is ignored; the two-table
+    join is its own plan)."""
     keys = lsh_band_keys(signatures, num_hashes, bands, char_ngram, seed)
+    if signatures_rhs is not None:
+        keys_rhs = lsh_band_keys(signatures_rhs, num_hashes, bands,
+                                 char_ngram, seed)
+        return two_table_pairs_from_block_keys(
+            keys, keys_rhs, block_cap=block_cap, materialize=materialize)
     if strategy == "grouped":
         return grouped_pairs_from_block_keys(
             keys, block_cap=block_cap, materialize=materialize)
@@ -376,34 +459,57 @@ def token_overlap_block(
     text_col: str = "sig_text",
     id_col: str = "conv_id",
     max_token_df: int | None = 1000,
+    signatures_rhs: DataFrame | None = None,
 ) -> tuple[DataFrame, BlockingStats]:
     """Word-level token-overlap blocker (>= min_shared_tokens shared tokens),
     the OverlapBlocker semantics of blocking_algorithms.py:34-53.
 
-    Distributed as an inverted-index self-join: tokenize -> explode ->
+    Distributed as an inverted-index join: tokenize -> explode ->
     equi-join on token -> groupBy(pair) count >= k. ``max_token_df`` drops
     tokens appearing in more than that many docs (a stopword token would
     otherwise emit a quadratic pair explosion); dropped tokens are counted
     in stats — visible, like the block cap.
+
+    ``signatures_rhs``: two-table mode (reference ltable/rtable,
+    blocking_algorithms.py:34-53 blocks Amazon x Google) — the index join
+    runs lhs-tokens x rhs-tokens, only cross-side pairs form, orientation
+    is preserved (conv_id_a from lhs), and the token-df cap counts
+    document frequency across BOTH sides.
     """
-    toks = (
-        signatures
-        .select(F.col(id_col).alias("conv_id"),
-                F.explode(tokens(F.col(text_col))).alias("token"))
-        .filter(F.length("token") > 0)
+
+    def _toks(df):
+        return (
+            df.select(F.col(id_col).alias("conv_id"),
+                      F.explode(tokens(F.col(text_col))).alias("token"))
+            .filter(F.length("token") > 0)
+        )
+
+    toks_a = _toks(signatures)
+    toks_b = _toks(signatures_rhs) if signatures_rhs is not None else None
+    stats = BlockingStats(
+        capped_at=max_token_df,
+        extra={"strategy": "two_table" if toks_b is not None else "self"},
     )
-    stats = BlockingStats(capped_at=max_token_df)
     if max_token_df is not None:
-        df_counts = toks.groupBy("token").agg(F.count("*").alias("df"))
+        both = toks_a if toks_b is None else toks_a.unionByName(toks_b)
+        df_counts = both.groupBy("token").agg(F.count("*").alias("df"))
         hot = df_counts.filter(F.col("df") > max_token_df)
         stats.extra["hot_tokens_dropped"] = hot.count()
-        toks = toks.join(F.broadcast(hot.select("token")), "token", "left_anti")
+        hot_b = F.broadcast(hot.select("token"))
+        toks_a = toks_a.join(hot_b, "token", "left_anti")
+        if toks_b is not None:
+            toks_b = toks_b.join(hot_b, "token", "left_anti")
 
-    a = toks.select(F.col("token"), F.col("conv_id").alias("conv_id_a"))
-    b = toks.select(F.col("token"), F.col("conv_id").alias("conv_id_b"))
+    if toks_b is None:
+        a = toks_a.select(F.col("token"), F.col("conv_id").alias("conv_id_a"))
+        b = toks_a.select(F.col("token"), F.col("conv_id").alias("conv_id_b"))
+        joined = a.join(b, "token").filter(F.col("conv_id_a") < F.col("conv_id_b"))
+    else:
+        a = toks_a.select(F.col("token"), F.col("conv_id").alias("conv_id_a"))
+        b = toks_b.select(F.col("token"), F.col("conv_id").alias("conv_id_b"))
+        joined = a.join(b, "token")
     pairs = (
-        a.join(b, "token")
-        .filter(F.col("conv_id_a") < F.col("conv_id_b"))
+        joined
         .groupBy("conv_id_a", "conv_id_b")
         .agg(F.count("*").alias("shared_tokens"))
         .filter(F.col("shared_tokens") >= min_shared_tokens)

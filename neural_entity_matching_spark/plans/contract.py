@@ -149,12 +149,24 @@ FROM documents GROUP BY 2
 
 def q_token_overlap_block(spark, sf_dir):
     """F5: word-level token-overlap blocking >= k shared tokens as an
-    inverted-index self-join (reference script/blocking_algorithms.py:34-53)."""
+    inverted-index self-join (reference script/blocking_algorithms.py:34-53).
+
+    Tokens with document frequency > 390 are dropped BEFORE the index join
+    (the standard hot-token cap of set-similarity joins, same as the
+    library operator's ``max_token_df``): a stopword token in k docs emits
+    C(k,2) join rows before any filter — quadratic at scale. The cap is
+    exercised at sf0.01 (~half the vocabulary is hot), so the oracle match
+    proves the cap semantics, not just the join."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("tok"),
     )
+    keep = (
+        toks.groupBy("tok").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= 390).select("tok")
+    )
+    toks = toks.join(F.broadcast(keep), "tok")
     a = toks.select(F.col("tok"), F.col("doc_id").alias("id_a"))
     b = toks.select(F.col("tok"), F.col("doc_id").alias("id_b"))
     return (
@@ -162,17 +174,59 @@ def q_token_overlap_block(spark, sf_dir):
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared_tokens"))
-        .filter(F.col("shared_tokens") >= 30)
+        .filter(F.col("shared_tokens") >= 15)
     )
 
 
 SQL_TOKEN_OVERLAP_BLOCK = """
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
-  FROM documents)
+  FROM documents),
+keep AS (SELECT tok FROM toks GROUP BY tok HAVING count(*) <= 390),
+t AS (SELECT doc_id, tok FROM toks WHERE tok IN (SELECT tok FROM keep))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_tokens
-FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
-GROUP BY 1, 2 HAVING count(*) >= 30
+FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 15
+"""
+
+
+def q_two_table_block(spark, sf_dir):
+    """Two-table (lhs x rhs) blocking — the reference's primary mode: every
+    experiment blocks Amazon x Google and keeps only cross-table pairs
+    (reference script/blocking_algorithms.py:149-172,
+    model_magellan_ml.py:183-193). Exercises the LIBRARY operator
+    ``token_overlap_block(signatures, signatures_rhs=...)``: lhs = sources
+    src0-src9, rhs = src10-src19; only cross-side pairs, orientation
+    preserved (id_a from lhs), hot tokens (df > 390 across BOTH sides)
+    dropped before the index join."""
+    from neural_entity_matching_spark.operators.blocking import (
+        token_overlap_block,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lhs = docs.filter(F.length("source") == 4)
+    rhs = docs.filter(F.length("source") == 5)
+    pairs, _stats = token_overlap_block(
+        lhs, min_shared_tokens=15, text_col="text", id_col="doc_id",
+        max_token_df=390, signatures_rhs=rhs,
+    )
+    return pairs.select(F.col("conv_id_a").alias("id_a"),
+                        F.col("conv_id_b").alias("id_b"))
+
+
+SQL_TWO_TABLE_BLOCK = """
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+  FROM documents),
+keep AS (SELECT tok FROM toks GROUP BY tok HAVING count(*) <= 390),
+ta AS (SELECT doc_id, tok FROM toks
+       WHERE length(source) = 4 AND tok IN (SELECT tok FROM keep)),
+tb AS (SELECT doc_id, tok FROM toks
+       WHERE length(source) = 5 AND tok IN (SELECT tok FROM keep))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM ta a JOIN tb b ON a.tok = b.tok
+GROUP BY 1, 2 HAVING count(*) >= 15
 """
 
 
@@ -433,7 +487,15 @@ def q_tfidf_cosine_pairs(spark, sf_dir):
         .agg(F.countDistinct("doc_id").alias("df"))
         .withColumn("idf", F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df")))
     )
-    w = tf.join(F.broadcast(idf), "tok").withColumn("w", F.col("tf") * F.col("idf"))
+    # hot-token cap (df > 390 across the corpus): a stopword token in k
+    # docs emits C(k,2) rows in the dots join below — quadratic at scale.
+    # Dropping it from the representation (weights AND norms) is the
+    # standard df-cap of distributed TF-IDF joins; exercised at sf0.01.
+    w = (
+        tf.join(F.broadcast(idf), "tok")
+        .filter(F.col("df") <= 390)
+        .withColumn("w", F.col("tf") * F.col("idf"))
+    )
     norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
     a = w.select("tok", "source", F.col("doc_id").alias("id_a"), F.col("w").alias("wa"))
     b = w.select("tok", "source", F.col("doc_id").alias("id_b"), F.col("w").alias("wb"))
@@ -460,9 +522,11 @@ WITH tf AS (
         FROM documents)
   GROUP BY 1, 2, 3),
 idf AS (
-  SELECT tok, ln(1.0 + (SELECT count(*) FROM documents)::DOUBLE / count(DISTINCT doc_id)) AS idf
+  SELECT tok, count(DISTINCT doc_id) AS df,
+         ln(1.0 + (SELECT count(*) FROM documents)::DOUBLE / count(DISTINCT doc_id)) AS idf
   FROM tf GROUP BY tok),
-w AS (SELECT tf.doc_id, tf.source, tf.tok, tf.tf * idf.idf AS w FROM tf JOIN idf USING (tok)),
+w AS (SELECT tf.doc_id, tf.source, tf.tok, tf.tf * idf.idf AS w
+      FROM tf JOIN idf USING (tok) WHERE idf.df <= 390),
 norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY doc_id),
 dots AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
@@ -695,6 +759,7 @@ QUERIES = {
     "positive_pairs_join": q_positive_pairs_join,
     "dedup_exact": q_dedup_exact,
     "token_overlap_block": q_token_overlap_block,
+    "two_table_block": q_two_table_block,
     "edit_distance_block": q_edit_distance_block,
     "seeded_sample": q_seeded_sample,
     "quantile_cutoffs": q_quantile_cutoffs,
@@ -721,6 +786,7 @@ ORACLES = {
     "positive_pairs_join": SQL_POSITIVE_PAIRS_JOIN,
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_overlap_block": SQL_TOKEN_OVERLAP_BLOCK,
+    "two_table_block": SQL_TWO_TABLE_BLOCK,
     "edit_distance_block": SQL_EDIT_DISTANCE_BLOCK,
     "seeded_sample": SQL_SEEDED_SAMPLE,
     "quantile_cutoffs": SQL_QUANTILE_CUTOFFS,
