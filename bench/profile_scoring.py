@@ -25,6 +25,7 @@ def main() -> None:
     executors = int(sys.argv[1])
     n_base = int(sys.argv[2]) if len(sys.argv) > 2 else 40000
     cores_per = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    mode = sys.argv[4] if len(sys.argv) > 4 else "cluster"
     cores = executors * cores_per
 
     from pyspark.sql import functions as F
@@ -35,18 +36,26 @@ def main() -> None:
     from neural_entity_matching_spark.session import get_spark
     from neural_entity_matching_spark.sources.synth import to_spark
 
-    spark = get_spark(
-        app_name=f"nem-score-profile-{executors}",
-        master=f"local-cluster[{executors},{cores_per},{EXECUTOR_MEM_MB}]",
-        shuffle_partitions=cores * 2,
-        extra_conf={
+    if mode == "local":
+        master = f"local[{cores}]"
+        extra = {"spark.driver.memory": "24g"}
+    else:
+        master = f"local-cluster[{executors},{cores_per},{EXECUTOR_MEM_MB}]"
+        extra = {
             "spark.executor.memory": f"{EXECUTOR_MEM_MB - 2048}m",
             "spark.driver.memory": "8g",
             "spark.executorEnv.PYTHONPATH": os.path.dirname(
                 os.path.dirname(os.path.abspath(__file__))
             ),
-        },
+        }
+    spark = get_spark(
+        app_name=f"nem-score-profile-{executors}",
+        master=master,
+        shuffle_partitions=cores * 2,
+        extra_conf=extra,
     )
+    from neural_entity_matching_spark.session import wait_for_executors
+    wait_for_executors(spark, cores)
     transcripts, _, _ = to_spark(spark, n_base=n_base, seed=42)
     transcripts = transcripts.repartition(cores * 2).cache()
     transcripts.count()

@@ -20,13 +20,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CORES_PER_EXECUTOR = 8
+CORES_PER_EXECUTOR = int(os.environ.get('NEM_CORES_PER_EXECUTOR', '8'))
 EXECUTOR_MEM_MB = 10240
 
 
 def main() -> None:
     executors = int(sys.argv[1])
     n_base = int(sys.argv[2]) if len(sys.argv) > 2 else 40000
+    mode = sys.argv[3] if len(sys.argv) > 3 else "cluster"
     cores = executors * CORES_PER_EXECUTOR
 
     from pyspark.sql import functions as F
@@ -34,14 +35,15 @@ def main() -> None:
     from neural_entity_matching_spark.functions.normalize import build_signatures
     from neural_entity_matching_spark.operators.blocking import lsh_block
     from neural_entity_matching_spark.operators.scoring import fast_threshold_score
-    from neural_entity_matching_spark.session import get_spark
+    from neural_entity_matching_spark.session import get_spark, wait_for_executors
     from neural_entity_matching_spark.sources.synth import to_spark
 
-    spark = get_spark(
-        app_name=f"nem-scaling-{executors}x{CORES_PER_EXECUTOR}",
-        master=f"local-cluster[{executors},{CORES_PER_EXECUTOR},{EXECUTOR_MEM_MB}]",
-        shuffle_partitions=cores * 2,
-        extra_conf={
+    if mode == "local":
+        master = f"local[{cores}]"
+        extra = {"spark.driver.memory": "24g"}
+    else:
+        master = f"local-cluster[{executors},{CORES_PER_EXECUTOR},{EXECUTOR_MEM_MB}]"
+        extra = {
             "spark.executor.memory": f"{EXECUTOR_MEM_MB - 2048}m",
             "spark.driver.memory": "8g",
             # executor JVMs spawn their own Python workers — ship the repo
@@ -49,8 +51,17 @@ def main() -> None:
             "spark.executorEnv.PYTHONPATH": os.path.dirname(
                 os.path.dirname(os.path.abspath(__file__))
             ),
-        },
+        }
+    spark = get_spark(
+        app_name=f"nem-scaling-{executors}x{CORES_PER_EXECUTOR}",
+        master=master,
+        shuffle_partitions=cores * 2,
+        extra_conf=extra,
     )
+    # executors register asynchronously — caching before they all arrive
+    # pins every cached partition (and all downstream locality) onto the
+    # first executor, silently measuring a 1-executor run
+    wait_for_executors(spark, cores)
     transcripts, _, _ = to_spark(spark, n_base=n_base, seed=42)
     transcripts = transcripts.repartition(cores * 2).cache()
     transcripts.count()
@@ -70,19 +81,43 @@ def main() -> None:
 
     stages = {}
     t0 = time.monotonic()
-    candidates, _ = lsh_block(
-        sigs, num_hashes=128, bands=64, char_ngram=8, seed=42, block_cap=35
+    # dictionary-encoded ids flow END-TO-END: candidate pairs stay int64,
+    # the payload join keys on xxhash64(conv_id), and only final MATCHES
+    # (~0.7% of pairs) are decoded back to real ids at the boundary —
+    # decoding every candidate pair is wasted shuffle width at scale
+    candidates, bstats = lsh_block(
+        sigs, num_hashes=128, bands=64, char_ngram=8, seed=42, block_cap=35,
+        decode_ids=False,
     )
-    candidates = candidates.persist()
-    n_pairs = candidates.count()
+    n_pairs = bstats.extra["n_pairs"]
     stages["blocking_sec"] = round(time.monotonic() - t0, 2)
 
     t1 = time.monotonic()
+    if os.environ.get("NEM_CLUSTER_BY_A", "1") == "1":
+        # run-length locality for the scoring probes: consecutive rows
+        # share conv_id_a, so the broadcast-map entry (string + token
+        # array, ~1.3KB) stays cache-resident across a run instead of a
+        # random DRAM fetch per pair — the scoring stage is
+        # bandwidth-bound, not CPU-bound, at high core counts
+        candidates = candidates.sortWithinPartitions("conv_id_a")
+    sigs_iid = sigs.select(F.xxhash64("conv_id").alias("conv_id"), "sig_text")
     scored = fast_threshold_score(
-        candidates, sigs, threshold=0.55, broadcast_signatures=True
+        candidates, sigs_iid, threshold=0.55, broadcast_signatures=True
     ).persist()
+    # materialize the cache FIRST: filtering is_match on the lazy plan lets
+    # Catalyst push the predicate through the projection chain, substituting
+    # the whole edit-distance cascade into the filter (measured 20x); the
+    # InMemoryRelation boundary stops that
     n_scored = scored.count()
-    n_matches = scored.filter(F.col("is_match") == 1).count()
+    mapping = F.broadcast(bstats.extra["id_mapping"])
+    matches = (
+        scored.filter(F.col("is_match") == 1)
+        .join(mapping.select(F.col("iid").alias("conv_id_a"),
+                             F.col("_id").alias("id_a")), "conv_id_a")
+        .join(mapping.select(F.col("iid").alias("conv_id_b"),
+                             F.col("_id").alias("id_b")), "conv_id_b")
+    )
+    n_matches = matches.count()
     stages["scoring_sec"] = round(time.monotonic() - t1, 2)
     wall = time.monotonic() - t0
     spark.stop()

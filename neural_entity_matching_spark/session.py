@@ -52,11 +52,44 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # shuffle/spill files default to /tmp — on this sandbox a throttled
+    # virtual block device whose IOPS stalls serialize whole stages
+    # unpredictably (measured: multi-second 5%-CPU dips wandering between
+    # phases run-to-run). A real cluster puts shuffle on local NVMe; the
+    # tmpfs stand-in restores that assumption. Override/disable with
+    # SPARK_LOCAL_DIRS.
+    if "SPARK_LOCAL_DIRS" not in os.environ and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def wait_for_executors(spark: SparkSession, min_cores: int,
+                       timeout_s: float = 60.0) -> int:
+    """Block until the cluster reports >= ``min_cores`` total task slots.
+
+    Executors register asynchronously after session start. Any job (and
+    especially a .cache()) submitted before registration completes lands
+    entirely on the first executor — and cached partitions then PIN all
+    downstream work there via locality preference, silently serializing a
+    'multi-executor' run onto one JVM. Every benchmark and spark-submit
+    entry point must call this before the first action (measured: a
+    4-executor local-cluster run that skips this performs identically to
+    1 executor on the cache-consuming stages)."""
+    import time
+
+    sc = spark.sparkContext
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        if sc.defaultParallelism >= min_cores:
+            return sc.defaultParallelism
+        time.sleep(0.2)
+    return sc.defaultParallelism
 
 
 def stop_spark() -> None:

@@ -64,12 +64,17 @@ class CheckpointManager:
         self.base_dir = base_dir
         os.makedirs(base_dir, exist_ok=True)
 
-    def _paths(self, stage: str) -> tuple[str, str]:
-        d = os.path.join(self.base_dir, stage)
+    def _paths(self, stage: str, snapshot_id: str = "") -> tuple[str, str]:
+        # snapshot-keyed layout: each fingerprint owns its own directory,
+        # so a grid sweep over configs shares identical prefix stages
+        # (same fingerprint -> same path -> resume) while divergent
+        # configs never clobber each other's data
+        d = os.path.join(self.base_dir, stage, snapshot_id) if snapshot_id \
+            else os.path.join(self.base_dir, stage)
         return os.path.join(d, "data"), os.path.join(d, "_SNAPSHOT.json")
 
-    def load_snapshot(self, stage: str) -> dict | None:
-        _, meta = self._paths(stage)
+    def load_snapshot(self, stage: str, snapshot_id: str = "") -> dict | None:
+        _, meta = self._paths(stage, snapshot_id)
         if not os.path.exists(meta):
             return None
         with open(meta) as f:
@@ -88,14 +93,19 @@ class CheckpointManager:
         on the same key read co-located data (the parquet stand-in for
         Iceberg bucket partitioning of conv_id).
         """
-        data, meta = self._paths(stage)
-        snap = self.load_snapshot(stage)
+        data, meta = self._paths(stage, snapshot_id)
+        snap = self.load_snapshot(stage, snapshot_id)
         if snap is not None and snap.get("snapshot_id") == snapshot_id:
             df = self.spark.read.parquet(data)
             return StageResult(df, snapshot_id, True, snap.get("rows", -1),
                                snap.get("wall_ms", 0))
 
         t0 = time.monotonic()
+        # invalidate the STALE snapshot before touching its data: a crash
+        # mid-overwrite must not leave old metadata pointing at deleted or
+        # half-written files (a later run with the old fingerprint would
+        # "resume" from garbage) — recompute-on-crash is the safe failure
+        self.invalidate(stage, snapshot_id)
         out = compute()
         if repartition_by:
             out = out.repartition(*repartition_by)
@@ -111,7 +121,7 @@ class CheckpointManager:
         os.replace(tmp, meta)  # atomic commit — crash before this = no snapshot
         return StageResult(df, snapshot_id, False, rows, wall_ms)
 
-    def invalidate(self, stage: str) -> None:
-        _, meta = self._paths(stage)
+    def invalidate(self, stage: str, snapshot_id: str = "") -> None:
+        _, meta = self._paths(stage, snapshot_id)
         if os.path.exists(meta):
             os.remove(meta)

@@ -73,25 +73,45 @@ def incremental_signatures(
     target_dir: str,
     checkpoint_dir: str,
 ):
-    """foreachBatch upsert: each micro-batch recomputes signatures for the
-    conv_ids it touched and overwrites their partitions in the target.
-    (With Iceberg on the classpath this becomes a MERGE INTO; the parquet
-    fallback rewrites per-conversation output partitioned by bucket.)"""
+    """foreachBatch upsert keeping signatures correct across micro-batch
+    boundaries: the raw turn history is ACCUMULATED (epoch-partitioned
+    appends under ``target_dir + '_turns'``), and each batch rebuilds the
+    signature of every touched conv_id from the FULL accumulated history —
+    never from the batch's turn subset alone, so a conversation whose
+    turns straddle micro-batches (routine with maxFilesPerTrigger) still
+    gets the signature the batch pipeline would compute.
+
+    Replay safety: the epoch-partitioned turn write is overwritten on
+    re-delivery of the same epoch, and the rebuild dedups on
+    (conv_id, turn_idx) — per-turn text equality under stable turn
+    ordering (the per-row invariant) makes that idempotent. With Iceberg
+    on the classpath the turn append + signature upsert collapse into
+    appends + MERGE INTO; the parquet fallback rewrites the (small)
+    signature target per batch."""
     from neural_entity_matching_spark.functions.normalize import build_signatures
+
+    turns_dir = target_dir + "_turns"
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        touched = batch.select("conv_id").distinct()
         spark_ = batch.sparkSession
+        # 1. durable, replay-idempotent turn history for this epoch
+        batch.write.mode("overwrite").parquet(f"{turns_dir}/epoch={epoch_id}")
+        touched = batch.select("conv_id").distinct()
+        # 2. rebuild touched signatures from the FULL accumulated history
+        history = (
+            spark_.read.parquet(turns_dir)
+            .join(touched, "conv_id")
+            .dropDuplicates(["conv_id", "turn_idx"])
+        )
+        sigs = build_signatures(history)
+        # 3. upsert into the signature target
         try:
             existing = spark_.read.parquet(target_dir)
-            # conv_ids already materialized need their full turn history:
-            # in Iceberg this is a MERGE; here we re-read the batch's convs
             keep = existing.join(touched, "conv_id", "left_anti")
         except Exception:
             keep = None
-        sigs = build_signatures(batch)
         out = sigs if keep is None else keep.unionByName(sigs)
         out.write.mode("overwrite").parquet(target_dir + "_next")
         spark_.read.parquet(target_dir + "_next").write.mode("overwrite").parquet(target_dir)

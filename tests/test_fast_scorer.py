@@ -37,3 +37,33 @@ def test_fast_scorer_decision_equivalence(fixture_small):
         else:
             assert fs < 0.55  # non-match upper bound stays sub-threshold
     assert n_match > 0
+
+
+def test_fast_scorer_threshold_boundary_bitexact(spark):
+    """Stress the score == threshold boundary: random token strings scored
+    at many thresholds; is_match must equal the exact path's float
+    comparison bit-for-bit (the floor-derived band alone mis-rounds at
+    exact-boundary scores — the decision must come from the reconstructed
+    score, never band exhaustion)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        n = rng.randint(3, 20)
+        rows.append((f"s{i:03d}", " ".join(rng.choice(vocab) for _ in range(n))))
+    sigs = spark.createDataFrame(rows, ["conv_id", "sig_text"]).cache()
+    ids = [r[0] for r in rows]
+    pairs = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids if a < b], ["conv_id_a", "conv_id_b"]
+    ).cache()
+    # thresholds chosen so that required-ratio boundaries fall on exact
+    # rational score values (short strings + tiny vocab -> many ties)
+    for t in [0.25, 0.5, 0.55, 0.625, 0.75]:
+        exact = threshold_scorer(featurize_pairs(pairs, sigs), threshold=t)
+        fast = fast_threshold_score(pairs, sigs, threshold=t)
+        key = ["conv_id_a", "conv_id_b"]
+        e = {tuple(r[k] for k in key): r["is_match"] for r in exact.collect()}
+        f = {tuple(r[k] for k in key): r["is_match"] for r in fast.collect()}
+        assert e == f, (t, {p: (e[p], f[p]) for p in e if e[p] != f[p]})

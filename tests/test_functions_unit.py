@@ -209,3 +209,38 @@ def test_signature_respects_turn_idx_not_ts(spark):
     sig = build_signatures(df).collect()[0]
     assert sig["sig_text"] == "hello world bye"
     assert sig["n_turns"] == 3
+
+
+# --- hash-embedding stand-in (functions/embedding.py) ---
+
+def test_hash_embedding_deterministic_unit_and_similarity(spark):
+    from neural_entity_matching_spark.functions.embedding import (
+        embed_signatures,
+        hash_embedding_udf,
+    )
+    import numpy as np
+
+    rows = [
+        ("a", "deploy cluster error retry timeout"),
+        ("b", "deploy cluster error retry delay"),   # near-dup of a
+        ("c", "zen lor vex pli gra shu wen dor"),    # unrelated
+        ("d", ""),                                    # empty -> zero vector
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "sig_text"])
+    out = {r["conv_id"]: np.array(r["emb"])
+           for r in embed_signatures(df, dim=64).collect()}
+    # unit (or zero) norm
+    for k in ("a", "b", "c"):
+        assert abs(np.linalg.norm(out[k]) - 1.0) < 1e-9
+    assert np.linalg.norm(out["d"]) == 0.0
+    # near-dups more similar than unrelated
+    assert out["a"] @ out["b"] > 0.6 > abs(out["a"] @ out["c"])
+    # partition-invariant / deterministic
+    out2 = {r["conv_id"]: np.array(r["emb"])
+            for r in embed_signatures(df.repartition(3), dim=64).collect()}
+    for k in out:
+        assert np.array_equal(out[k], out2[k])
+    # different seed -> different embedding
+    udf2 = hash_embedding_udf(dim=64, seed=7)
+    out3 = df.select(udf2("sig_text").alias("e")).collect()
+    assert not np.array_equal(np.array(out3[0]["e"]), out["a"])

@@ -13,6 +13,7 @@ from neural_entity_matching_spark.operators.ml_scorer import (
     train_scorer,
 )
 from neural_entity_matching_spark.operators.scoring import (
+    FULL_FEATURE_COLS,
     attach_labels,
     featurize_pairs,
     is_single_class,
@@ -23,17 +24,39 @@ LSH = dict(num_hashes=128, bands=64, char_ngram=8, seed=42)
 
 @pytest.fixture(scope="module")
 def featurized_labeled(fixture_small):
+    """The FULL north-star feature vector (lev, jaccard, len, JW, TF-IDF
+    cosine) + the optional embedding cosine — every column the matcher can
+    see, all non-null."""
     transcripts, labeled, _ = fixture_small
     sigs = build_signatures(transcripts).cache()
     candidates, _ = lsh_block(sigs, block_cap=35, **LSH)
-    feats = attach_labels(featurize_pairs(candidates, sigs), labeled).cache()
+    feats = attach_labels(
+        featurize_pairs(candidates, sigs, with_jaro_winkler=True,
+                        with_tfidf=True, with_embedding=True),
+        labeled,
+    ).cache()
+    for c in FULL_FEATURE_COLS + ["embedding_cosine"]:
+        assert c in feats.columns, c
+        assert feats.filter(F.col(c).isNull()).count() == 0, c
     return feats, labeled, candidates
 
 
 @pytest.mark.parametrize("model", ["logistic", "gbt"])
 def test_trained_scorer_hits_f1_gate(featurized_labeled, model):
+    """F1 gate on the 5-feature north-star vector."""
     feats, labeled, candidates = featurized_labeled
-    m = train_scorer(feats, model=model)
+    m = train_scorer(feats, model=model, feature_cols=FULL_FEATURE_COLS)
+    scored = score_with_model(m, feats)
+    res = pairwise_f1(scored, labeled, universe=candidates)
+    assert res.f1 >= 0.99, res
+
+
+def test_embedding_feature_e2e(featurized_labeled):
+    """Flag-on e2e: the matcher trains and hits the gate with the optional
+    sentence-embedding (hash stand-in) cosine as a sixth feature."""
+    feats, labeled, candidates = featurized_labeled
+    m = train_scorer(feats, model="logistic",
+                     feature_cols=FULL_FEATURE_COLS + ["embedding_cosine"])
     scored = score_with_model(m, feats)
     res = pairwise_f1(scored, labeled, universe=candidates)
     assert res.f1 >= 0.99, res

@@ -84,9 +84,11 @@ def test_incremental_signatures_foreachbatch(spark, tmp_path):
     from neural_entity_matching_spark.functions.normalize import build_signatures
 
     exp = build_signatures(spark.read.parquet(src))
-    # every conversation fully contained in one micro-batch matches the
-    # batch signature; with maxFilesPerTrigger=4 a conv can straddle
-    # batches, in which case the last batch wins — assert the ids match
-    # and spot-check signatures for convs whose turns arrived together
+    # EVERY conversation — including those whose turns straddle
+    # micro-batches (maxFilesPerTrigger=4 over 4 input files guarantees
+    # splits) — must match the batch signature exactly: the handler
+    # rebuilds from the accumulated turn history, never the batch subset
     assert got.count() == exp.count()
-    assert got.join(exp, "conv_id").count() == exp.count()
+    g = {r["conv_id"]: r["sig_text"] for r in got.collect()}
+    e = {r["conv_id"]: r["sig_text"] for r in exp.collect()}
+    assert g == e
