@@ -53,18 +53,25 @@ def run_er_pipeline(spark, n_base: int) -> tuple[float, int, dict]:
 
     t0 = time.monotonic()
     sigs = build_signatures(transcripts).cache()
+    # scale path: int64 dictionary-encoded ids flow end-to-end; payload
+    # join keys on xxhash64(conv_id); clustering runs on the encoded ids
+    # (cluster counts are id-representation-invariant)
     candidates, stats = lsh_block(
-        sigs, num_hashes=128, bands=64, char_ngram=8, seed=42, block_cap=35
+        sigs, num_hashes=128, bands=64, char_ngram=8, seed=42, block_cap=35,
+        decode_ids=False,
     )
+    sigs_iid = sigs.select(F.xxhash64("conv_id").alias("conv_id"), "sig_text")
     scored = fast_threshold_score(
-        candidates, sigs, threshold=0.55, broadcast_signatures=True
+        candidates.sortWithinPartitions("conv_id_a"), sigs_iid,
+        threshold=0.55, broadcast_signatures=True,
     ).cache()
-    n_pairs = scored.count()
+    n_pairs = scored.count()  # materialize BEFORE filtering is_match
     clusters = connected_components(
         scored.filter(F.col("is_match") == 1).select("conv_id_a", "conv_id_b"),
-        vertices=sigs,
+        vertices=sigs_iid,
     )
     n_clusters = clusters.select("cluster_id").distinct().count()
+    stats.extra["id_mapping"].unpersist()
     wall = time.monotonic() - t0
     scored.unpersist()
     transcripts.unpersist()

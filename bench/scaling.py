@@ -14,7 +14,8 @@ Protocol: the host shows multi-minute noisy-neighbor slowdown windows, so
 levels are run INTERLEAVED (1,4,1,4,...) for ``rounds`` rounds and the
 per-level MEDIAN is reported, with every raw run listed.
 
-Usage: python bench/scaling.py [n_base] [rounds] — writes BENCH/BASELINE.md.
+Usage: python bench/scaling.py [n_base[,n_base2,...]] [rounds] — writes
+BENCH/BASELINE.md with one table per corpus size.
 """
 
 from __future__ import annotations
@@ -40,9 +41,7 @@ def run(executors: int, n_base: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def main() -> None:
-    n_base = int(sys.argv[1]) if len(sys.argv) > 1 else 80000
-    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+def measure(n_base: int, rounds: int) -> dict:
     runs: dict[int, list[dict]] = {1: [], 4: []}
     for _ in range(rounds):
         for e in (1, 4):
@@ -51,29 +50,68 @@ def main() -> None:
         assert len({r["pairs"] for r in runs[e]}) == 1
     assert runs[1][0]["pairs"] == runs[4][0]["pairs"]
     assert runs[1][0]["matches"] == runs[4][0]["matches"]
-
     med = {e: {k: statistics.median(r[k] for r in runs[e])
                for k in ("wall_sec", "blocking_sec", "scoring_sec",
                          "pairs_per_sec")}
            for e in (1, 4)}
-    speedup = med[4]["pairs_per_sec"] / med[1]["pairs_per_sec"]
-    efficiency = speedup / 4.0
-    score_speedup = med[1]["scoring_sec"] / med[4]["scoring_sec"]
-    block_speedup = med[1]["blocking_sec"] / med[4]["blocking_sec"]
-    pairs = runs[1][0]["pairs"]
-    matches = runs[1][0]["matches"]
+    return {
+        "n_base": n_base,
+        "runs": runs,
+        "med": med,
+        "pairs": runs[1][0]["pairs"],
+        "matches": runs[1][0]["matches"],
+        "speedup": med[4]["pairs_per_sec"] / med[1]["pairs_per_sec"],
+        "score_speedup": med[1]["scoring_sec"] / med[4]["scoring_sec"],
+        "block_speedup": med[1]["blocking_sec"] / med[4]["blocking_sec"],
+    }
 
+
+def _tables(m: dict) -> str:
     def row(e):
-        m = med[e]
-        return (f"| {e} ({'N' if e == 1 else '4N'}) | {e} | {m['wall_sec']} "
-                f"| {m['blocking_sec']} | {m['scoring_sec']} "
-                f"| {m['pairs_per_sec']:,.0f} |")
+        r = m["med"][e]
+        return (f"| {e} ({'N' if e == 1 else '4N'}) | {e} | {r['wall_sec']:.2f} "
+                f"| {r['blocking_sec']:.2f} | {r['scoring_sec']:.2f} "
+                f"| {r['pairs_per_sec']:,.0f} |")
 
     raw_rows = "\n".join(
         f"| {e} | {r['wall_sec']} | {r['blocking_sec']} | {r['scoring_sec']} "
         f"| {r['pairs_per_sec']:,.0f} |"
-        for e in (1, 4) for r in runs[e]
+        for e in (1, 4) for r in m["runs"][e]
     )
+    eff = m["speedup"] / 4.0
+    return f"""### n_base={m['n_base']} — {m['pairs']:,} candidate pairs, {m['matches']:,} matches
+
+| executors | cores | wall sec | blocking sec | scoring sec | pairs scored/sec |
+|---|---|---|---|---|---|
+{row(1)}
+{row(4)}
+
+**pairs-scored/sec efficiency N->4N = {m['speedup']:.2f}/4 = {eff:.3f}.**
+Stage speedups: scoring {m['score_speedup']:.2f}x
+({m['score_speedup'] / 4:.3f} eff), blocking {m['block_speedup']:.2f}x
+({m['block_speedup'] / 4:.3f} eff).
+
+Raw runs (levels interleaved 1,4,1,4 to cancel the host's slow windows):
+
+| executors | wall sec | blocking sec | scoring sec | pairs/sec |
+|---|---|---|---|---|
+{raw_rows}
+"""
+
+
+def main() -> None:
+    sizes = ([int(x) for x in sys.argv[1].split(",")]
+             if len(sys.argv) > 1 else [80000])
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    measures = [measure(n, rounds) for n in sizes]
+    head = measures[-1]  # largest/headline size listed last
+    speedup = head["speedup"]
+    efficiency = speedup / 4.0
+    score_speedup = head["score_speedup"]
+    block_speedup = head["block_speedup"]
+    n_base = head["n_base"]
+    pairs, matches = head["pairs"], head["matches"]
+    size_tables = "\n".join(_tables(m) for m in measures)
 
     md = f"""# BENCH/BASELINE — throughput & scaling evidence
 
@@ -81,9 +119,8 @@ Workload: the full ER candidate chain — MinHash-LSH blocking (int64
 dictionary-encoded ids, grouped hash-agg pair generation, capped blocks)
 -> banded-levenshtein fused scorer (decision-bit-exact vs the exact
 featurize+threshold path) — on the deterministic synthetic transcript
-corpus, n_base={n_base}: {pairs:,} candidate pairs scored,
-{matches:,} matches, byte-identical at both cluster sizes (seeded hashing
-only; no row-order dependence).
+corpus. Results are byte-identical at both cluster sizes and every corpus
+size (seeded hashing only; no row-order dependence).
 
 ## Headline: N vs 4N executors (median of {rounds} interleaved rounds)
 
@@ -91,21 +128,13 @@ only; no row-order dependence).
 run, executor registration awaited before any caching, machine otherwise
 idle. Signatures + Python-worker warm-up sit outside the timed section.
 
-| executors | cores | wall sec | blocking sec | scoring sec | pairs scored/sec |
-|---|---|---|---|---|---|
-{row(1)}
-{row(4)}
-
-**pairs-scored/sec efficiency N->4N = {speedup:.2f}/4 = {efficiency:.3f}**
-(north-rule target >= 0.8). Stage speedups: scoring {score_speedup:.2f}x
-({score_speedup / 4:.3f} eff), blocking {block_speedup:.2f}x
-({block_speedup / 4:.3f} eff).
-
-Raw runs (levels interleaved 1,4,1,4 to cancel the host's slow windows):
-
-| executors | wall sec | blocking sec | scoring sec | pairs/sec |
-|---|---|---|---|---|
-{raw_rows}
+{size_tables}
+**Headline (n_base={n_base}): pairs-scored/sec efficiency N->4N =
+{speedup:.2f}/4 = {efficiency:.3f}** (north-rule target >= 0.8; scoring
+stage — the work the metric names — {score_speedup:.2f}x =
+{score_speedup / 4:.3f}; the residual sits in blocking
+({block_speedup:.2f}x), whose cross-executor exchanges ride the single
+host's shared loopback + memory wall quantified below).
 
 ## Why 1 core per executor is the honest operating point here
 
@@ -167,11 +196,14 @@ byte-identical resume (test_pipeline_resume, test_grid).
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(path, "w") as f:
         f.write(md)
-    print(json.dumps({"median": med, "speedup": round(speedup, 3),
-                      "efficiency": round(efficiency, 3),
-                      "scoring_speedup": round(score_speedup, 3),
-                      "blocking_speedup": round(block_speedup, 3),
-                      "report": path}))
+    print(json.dumps({
+        "per_size": [{"n_base": m["n_base"],
+                      "efficiency": round(m["speedup"] / 4.0, 3),
+                      "scoring_eff": round(m["score_speedup"] / 4.0, 3),
+                      "blocking_eff": round(m["block_speedup"] / 4.0, 3)}
+                     for m in measures],
+        "headline_efficiency": round(efficiency, 3),
+        "report": path}))
 
 
 if __name__ == "__main__":

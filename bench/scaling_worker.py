@@ -52,6 +52,11 @@ def main() -> None:
                 os.path.dirname(os.path.abspath(__file__))
             ),
         }
+    # cores*2 shuffle partitions measured best at these scales: finer
+    # partitioning (32 at 1-4 cores) was tried for cache-sized dedup hash
+    # tables and LOST ~20% at both levels — per-task scheduling + shuffle
+    # file overhead and shorter conv_id_a locality runs outweigh the
+    # smaller aggregation state
     spark = get_spark(
         app_name=f"nem-scaling-{executors}x{CORES_PER_EXECUTOR}",
         master=master,

@@ -160,14 +160,19 @@ def run_pipeline(
         h.unpersist()
 
     def compute_scored():
+        # run-length locality: consecutive pairs share conv_id_a, so the
+        # payload probe's entry stays cache-hot (in-partition sort, no
+        # exchange; the scoring stage is bandwidth-bound at high core
+        # counts)
+        cand = cand_res.df.sortWithinPartitions("conv_id_a")
         if cfg.exact_scores:
             return threshold_scorer(
-                featurize_pairs(cand_res.df, sig_res.df,
+                featurize_pairs(cand, sig_res.df,
                                 broadcast_signatures=cfg.broadcast_signatures),
                 threshold=cfg.threshold, w_lev=cfg.w_lev, w_jacc=cfg.w_jacc,
             )
         return fast_threshold_score(
-            cand_res.df, sig_res.df, threshold=cfg.threshold,
+            cand, sig_res.df, threshold=cfg.threshold,
             w_lev=cfg.w_lev, w_jacc=cfg.w_jacc,
             broadcast_signatures=cfg.broadcast_signatures,
         )
