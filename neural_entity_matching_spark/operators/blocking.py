@@ -101,8 +101,10 @@ def _prepare_keys(
         .withColumn("iid", F.xxhash64(F.col("_id")))
         .persist()
     )
-    n_ids = mapping.count()
-    n_iids = mapping.select("iid").distinct().count()
+    chk = mapping.agg(
+        F.count("*").alias("n"), F.countDistinct("iid").alias("d")
+    ).collect()[0]
+    n_ids, n_iids = chk["n"], chk["d"]
     if n_ids != n_iids:
         mapping.unpersist()
         raw.unpersist()
