@@ -1,0 +1,102 @@
+"""Continuous incremental ER: streaming micro-batches converge to the batch
+pipeline's exact match set at the same blocking keys (caps un-triggered),
+and evaluation-time cap semantics bound hot-block work while keeping the
+already-paid early matches."""
+
+import pyspark.sql.functions as F
+
+from neural_entity_matching_spark.functions.normalize import build_signatures
+from neural_entity_matching_spark.operators.blocking import lsh_block
+from neural_entity_matching_spark.operators.scoring import fast_threshold_score
+from neural_entity_matching_spark.sources.synth import generate
+from neural_entity_matching_spark.streaming import ingest
+from neural_entity_matching_spark.streaming.incremental_er import (
+    incremental_er,
+    read_current_matches,
+)
+
+LSH = dict(num_hashes=128, bands=64, char_ngram=8, seed=42)
+
+
+def _write_src(spark, path, n_base=40, seed=21, files=12):
+    t, _, _ = generate(n_base=n_base, seed=seed)
+    from neural_entity_matching_spark import schema
+
+    df = spark.createDataFrame(t, schema=schema.TRANSCRIPTS)
+    # many files + maxFilesPerTrigger=4 -> conversations straddle batches
+    df.repartition(files).write.mode("overwrite").parquet(path)
+
+
+def _batch_matches(spark, src, block_cap):
+    sigs = build_signatures(spark.read.parquet(src)).cache()
+    cand, _ = lsh_block(sigs, block_cap=block_cap, **LSH)
+    scored = fast_threshold_score(cand, sigs, threshold=0.55).persist()
+    scored.count()  # materialize before filtering is_match
+    return {
+        (r["conv_id_a"], r["conv_id_b"])
+        for r in scored.filter(F.col("is_match") == 1)
+        .select("conv_id_a", "conv_id_b").collect()
+    }, sigs
+
+
+def test_incremental_er_converges_to_batch(spark, tmp_path):
+    src = str(tmp_path / "turns_src")
+    work = str(tmp_path / "er_work")
+    _write_src(spark, src)
+
+    # cap=100 > every block (incl. the 40-member greeting hot block): no
+    # block crosses the cap mid-stream, so streaming == batch EXACTLY
+    stream = ingest.stream_transcripts(spark, src)
+    q = incremental_er(spark, stream, work, str(tmp_path / "ck"),
+                       block_cap=100, threshold=0.55, **LSH).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["conv_id_a"], r["conv_id_b"])
+        for r in read_current_matches(spark, work).collect()
+    }
+    exp, sigs = _batch_matches(spark, src, block_cap=100)
+    assert exp, "fixture should contain matches"
+    assert got == exp
+
+    # signature store holds every conversation with its FULL signature
+    store = spark.read.parquet(f"{work}/sigs")
+    exp_sigs = {r["conv_id"]: r["sig_text"] for r in sigs.collect()}
+    got_sigs = {r["conv_id"]: r["sig_text"] for r in store.collect()}
+    assert got_sigs == exp_sigs
+
+
+def test_incremental_er_cap_bounds_hot_block_work(spark, tmp_path):
+    src = str(tmp_path / "turns_src2")
+    work = str(tmp_path / "er_work2")
+    _write_src(spark, src)
+
+    # cap=35 < the 40-member hot block: once the store's hot band exceeds
+    # the cap, later epochs stop generating its pairs; matches evaluated
+    # while it was under the cap remain (evaluation-time semantics)
+    stream = ingest.stream_transcripts(spark, src)
+    q = incremental_er(spark, stream, work, str(tmp_path / "ck2"),
+                       block_cap=35, threshold=0.55, **LSH).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["conv_id_a"], r["conv_id_b"])
+        for r in read_current_matches(spark, work).collect()
+    }
+    exp, _ = _batch_matches(spark, src, block_cap=35)
+
+    hot = lambda p: p[0].startswith("hot-") and p[1].startswith("hot-")
+    got_hot = {p for p in got if hot(p)}
+    got_rest = {p for p in got if not hot(p)}
+    exp_rest = {p for p in exp if not hot(p)}
+    # non-hot pairs: exact batch parity (batch drops the hot block too)
+    assert got_rest == exp_rest
+    # hot pairs: early sub-cap evaluations kept, later generation bounded —
+    # strictly fewer than the quadratic full set, strictly more than batch
+    assert 0 < len(got_hot) < 40 * 39 // 2

@@ -88,3 +88,36 @@ def test_cap_drops_mega_block_visibly(spark):
     assert stats.dropped_memberships == 120
     got = pairs.count()
     assert got == 100 * 3  # only the normal blocks survive
+
+
+def test_all_strategies_and_encodings_identical(spark):
+    """grouped == join == salted pair sets, with and without id encoding,
+    and decode_ids=False maps back exactly through stats.extra['id_mapping']."""
+    from neural_entity_matching_spark.operators.blocking import (
+        grouped_pairs_from_block_keys,
+    )
+
+    keys = _hot_keys(spark, n_hot=60, n_normal=200)
+
+    def pairset(df):
+        return {(r["conv_id_a"], r["conv_id_b"]) for r in df.collect()}
+
+    j, _ = pairs_from_block_keys(keys, block_cap=80)
+    g, _ = grouped_pairs_from_block_keys(keys, block_cap=80)
+    s, _ = salted_pairs_from_block_keys(keys, block_cap=80, salt=4)
+    raw, _ = grouped_pairs_from_block_keys(keys, block_cap=80, encode_ids=False)
+    expect = pairset(j)
+    assert pairset(g) == expect
+    assert pairset(s) == expect
+    assert pairset(raw) == expect
+    assert expect  # non-trivial
+
+    iid, st = grouped_pairs_from_block_keys(keys, block_cap=80,
+                                            decode_ids=False)
+    mapping = {r["iid"]: r["_id"] for r in st.extra["id_mapping"].collect()}
+    decoded = {
+        tuple(sorted((mapping[r["conv_id_a"]], mapping[r["conv_id_b"]])))
+        for r in iid.collect()
+    }
+    assert decoded == expect
+    st.extra["id_mapping"].unpersist()
