@@ -107,6 +107,70 @@ def minhash_lsh_dedup(
     return pairs, stats
 
 
+def cross_corpus_dedup(
+    docs: DataFrame,
+    reference_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    char_ngram: int = 5,
+    seed: int = 42,
+    threshold: float = 0.4,
+    block_cap: int = 2000,
+) -> tuple[DataFrame, BlockingStats]:
+    """Decontamination: near-duplicate pairs ACROSS two corpora (training
+    docs x held-out/eval reference), the standard benchmark-leakage sweep
+    of LLM training pipelines. Candidates come from the two-table
+    MinHash-LSH join (same seeded hash family on both sides, only
+    cross-corpus pairs form, per-side block caps), verified with exact
+    char-n-gram Jaccard >= threshold behind the size-ratio prefilter.
+
+    Output orientation is preserved: ``id_a`` is always from ``docs``
+    (the corpus being cleaned), ``id_b`` from ``reference_docs`` — the
+    caller anti-joins ``docs`` on id_a to drop contaminated rows.
+    """
+    from neural_entity_matching_spark.operators.blocking import (
+        two_table_pairs_from_block_keys,
+    )
+
+    udf = band_keys_udf(num_hashes=num_hashes, bands=bands,
+                        char_ngram=char_ngram, seed=seed)
+
+    def _keys(d):
+        return (
+            d.select(F.col(id_col).cast("string").alias("conv_id"),
+                     F.trim(F.col(text_col)).alias("t"))
+            .select("conv_id", F.explode(udf("t")).alias("block_key"))
+        )
+
+    cand, stats = two_table_pairs_from_block_keys(
+        _keys(docs), _keys(reference_docs), block_cap=block_cap)
+
+    def _grams(d):
+        return d.select(
+            F.col(id_col).cast("string").alias("cid"),
+            F.col(id_col).alias("did"),
+            _ngram_col(text_col, char_ngram).alias("g"),
+        ).withColumn("sz", F.size("g"))
+
+    ga, gb = _grams(docs), _grams(reference_docs)
+    pairs = (
+        cand.join(ga.select(F.col("cid").alias("conv_id_a"), F.col("did").alias("id_a"),
+                            F.col("g").alias("ga"), F.col("sz").alias("sa")), "conv_id_a")
+        .join(gb.select(F.col("cid").alias("conv_id_b"), F.col("did").alias("id_b"),
+                        F.col("g").alias("gb"), F.col("sz").alias("sb")), "conv_id_b")
+        .filter(F.least("sa", "sb") >= threshold * F.greatest("sa", "sb"))
+        .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
+        .withColumn("jacc", F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")))
+        .filter(F.col("jacc") >= threshold)
+        .select("id_a", "id_b", F.round("jacc", 6).alias("jacc"))
+    ).persist()
+    stats.extra["n_verified"] = pairs.count()
+    cand.unpersist()
+    return pairs, stats
+
+
 def simhash_table(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     seed: int = 42,

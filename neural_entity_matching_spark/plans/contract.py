@@ -545,6 +545,40 @@ WHERE len(list_intersect(a.t, b.t))::DOUBLE /
 """
 
 
+def q_cross_corpus_dedup(spark, sf_dir):
+    """Decontamination (training-data addendum): near-dup pairs ACROSS two
+    corpora — lhs = sources src0-src9 (the 'training' docs), rhs =
+    src10-src19 (the 'held-out' reference). Candidates from the two-table
+    MinHash-LSH join; exact char-5-gram Jaccard >= 0.4 verifies. Oracle =
+    brute-force cross join: every true cross pair sits at jaccard >= 0.92
+    where LSH r=4,b=16 detection probability is 1-1e-10, so candidates ⊇
+    truth and verification makes the result exact."""
+    from neural_entity_matching_spark.operators.dedup import cross_corpus_dedup
+
+    docs = _t(spark, sf_dir, "documents").withColumn("text", F.trim("text"))
+    lhs = docs.filter(F.length("source") == 4)
+    rhs = docs.filter(F.length("source") == 5)
+    pairs, _stats = cross_corpus_dedup(
+        lhs, rhs, num_hashes=64, bands=16, char_ngram=5, seed=42,
+        threshold=0.4, block_cap=1000,
+    )
+    return pairs
+
+
+SQL_CROSS_CORPUS_DEDUP = """
+WITH g AS (SELECT doc_id, source,
+           list_distinct(list_transform(generate_series(1, greatest(length(trim(text))-4, 1)),
+                         i -> substr(trim(text), i, 5))) AS t
+           FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.t, b.t))::DOUBLE /
+             len(list_distinct(list_concat(a.t, b.t))), 6) AS jacc
+FROM g a JOIN g b ON length(a.source) = 4 AND length(b.source) = 5
+WHERE len(list_intersect(a.t, b.t))::DOUBLE /
+      len(list_distinct(list_concat(a.t, b.t))) >= 0.4
+"""
+
+
 def q_tfidf_cosine_pairs(spark, sf_dir):
     """TF-IDF cosine similarity between same-source doc pairs — pure
     DataFrame ops (explode -> tf -> df -> idf -> weight join -> dot/norms),
@@ -843,6 +877,7 @@ QUERIES = {
     "blocking_metrics": q_blocking_metrics,
     "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
+    "cross_corpus_dedup": q_cross_corpus_dedup,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "text_quality": q_text_quality,
@@ -871,6 +906,7 @@ ORACLES = {
     "blocking_metrics": SQL_BLOCKING_METRICS,
     "ngram_jaccard_dedup": SQL_NGRAM_JACCARD_DEDUP,
     "minhash_lsh_dedup": SQL_MINHASH_LSH_DEDUP,
+    "cross_corpus_dedup": SQL_CROSS_CORPUS_DEDUP,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,
     "embedding_cosine_topk": SQL_EMBEDDING_COSINE_TOPK,
     "text_quality": SQL_TEXT_QUALITY,

@@ -107,3 +107,33 @@ def test_ivf_topk_recall_vs_brute(spark, emb):
     a = {(r["q_id"], r["nn_id"]) for r in approx.collect()}
     recall = len(a & b) / len(b)
     assert recall >= 0.7, recall
+
+
+def test_cross_corpus_dedup_decontamination(spark):
+    """Decontamination orientation + anti-join use: contaminated training
+    docs identified against a held-out reference, no intra-corpus pairs."""
+    from neural_entity_matching_spark.operators.dedup import cross_corpus_dedup
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight"),
+         (2, "completely unrelated training document about spark plans"),
+         (3, "the quick brown fox jumps over the lazy dog toniight"),  # near-dup of ref 10
+         (4, "another clean document with its own words entirely")],
+        ["doc_id", "text"],
+    )
+    ref = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog tonight"),
+         (11, "benchmark item that matches nothing in the training set")],
+        ["doc_id", "text"],
+    )
+    pairs, stats = cross_corpus_dedup(train, ref, threshold=0.4,
+                                      num_hashes=64, bands=16, char_ngram=5)
+    rows = pairs.collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert got == {(1, 10), (3, 10)}
+    assert all(r["jacc"] >= 0.4 for r in rows)
+    assert stats.extra["n_verified"] == 2
+    # the decontamination step: drop contaminated training docs
+    clean = train.join(pairs.select(F.col("id_a").alias("doc_id")).distinct(),
+                       "doc_id", "left_anti")
+    assert {r["doc_id"] for r in clean.collect()} == {2, 4}
