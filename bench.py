@@ -88,8 +88,8 @@ def main() -> None:
     from neural_entity_matching_spark.session import get_spark
 
     spark = get_spark(
-        app_name="nem-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
-    )
+        app_name="nem-bench", master=f"local[{cpus}]", shuffle_partitions=cpus,
+        tmpfs_shuffle=True)
 
     queries: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -53,6 +53,7 @@ def main() -> None:
         master=master,
         shuffle_partitions=cores * 2,
         extra_conf=extra,
+        tmpfs_shuffle=True,
     )
     out_cores = wait_for_executors(spark, cores)
     transcripts, _, _ = to_spark(spark, n_base=n_base, seed=42)

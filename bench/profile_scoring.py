@@ -53,6 +53,7 @@ def main() -> None:
         master=master,
         shuffle_partitions=cores * 2,
         extra_conf=extra,
+        tmpfs_shuffle=True,
     )
     from neural_entity_matching_spark.session import wait_for_executors
     wait_for_executors(spark, cores)

@@ -62,6 +62,7 @@ def main() -> None:
         master=master,
         shuffle_partitions=cores * 2,
         extra_conf=extra,
+        tmpfs_shuffle=True,
     )
     # executors register asynchronously — caching before they all arrive
     # pins every cached partition (and all downstream locality) onto the

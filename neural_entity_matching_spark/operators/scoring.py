@@ -38,6 +38,7 @@ def tfidf_doc_weights(
     text_col: str = "sig_text",
     id_col: str = "conv_id",
     max_df: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """(conv_id, tw: map<bigint,double>) — L2-normalized TF-IDF weights over
     xxhash64'd word tokens (the "pre-computed per-doc weight map" the pair
@@ -48,8 +49,12 @@ def tfidf_doc_weights(
     keeps any downstream inverted-index use linear. Distributed shape: one
     (doc, token-hash) aggregate, one token-df aggregate, one join back,
     one per-doc map aggregate; no UDF, no collect.
+
+    ``n_docs``: pass the corpus size when the caller already knows it;
+    otherwise N is folded into the lazy plan as a broadcast 1-row
+    aggregate (cross join) — either way no extra eager ``count()`` job
+    fires when the weights are built.
     """
-    n_docs = signatures.count()
     toks = (
         signatures.select(
             F.col(id_col).alias("conv_id"),
@@ -62,10 +67,17 @@ def tfidf_doc_weights(
     dfreq = tf.groupBy("th").agg(F.count("*").alias("df"))
     if max_df is not None:
         dfreq = dfreq.filter(F.col("df") <= max_df)
+    w = tf.join(dfreq, "th")
+    if n_docs is not None:
+        w = w.withColumn("_n", F.lit(float(n_docs)))
+    else:
+        n_row = signatures.agg(
+            F.count("*").cast("double").alias("_n"))
+        w = w.crossJoin(F.broadcast(n_row))
     w = (
-        tf.join(dfreq, "th")
-        .withColumn("idf", F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df")))
+        w.withColumn("idf", F.log(F.lit(1.0) + F.col("_n") / F.col("df")))
         .withColumn("w", F.col("tf") * F.col("idf"))
+        .drop("_n")
     )
     per_doc = w.groupBy("conv_id").agg(
         F.map_from_entries(
@@ -99,6 +111,7 @@ def featurize_pairs(
     broadcast_signatures: bool = False,
     with_tfidf: bool = False,
     tfidf_max_df: int | None = None,
+    tfidf_n_docs: int | None = None,
     with_embedding: bool = False,
     embedding_dim: int = 64,
 ) -> DataFrame:
@@ -155,15 +168,23 @@ def featurize_pairs(
             "jaro_winkler", jaro_winkler_udf(F.col("sig_a"), F.col("sig_b"))
         )
     if with_tfidf:
-        tw = tfidf_doc_weights(signatures, max_df=tfidf_max_df)
+        tw = tfidf_doc_weights(signatures, max_df=tfidf_max_df,
+                               n_docs=tfidf_n_docs)
         if broadcast_signatures:
             tw = F.broadcast(tw)
+        # LEFT join + empty-map default: a doc whose signature has zero
+        # tokens gets no weight row, and an inner join here would silently
+        # drop its candidate pairs from the feature table (row set must
+        # not depend on which feature columns are enabled — the embedding
+        # path below is total for the same reason).
         out = (
             out
             .join(tw.select(F.col("conv_id").alias("conv_id_a"),
-                            F.col("tw").alias("tw_a")), "conv_id_a")
+                            F.col("tw").alias("tw_a")), "conv_id_a", "left")
             .join(tw.select(F.col("conv_id").alias("conv_id_b"),
-                            F.col("tw").alias("tw_b")), "conv_id_b")
+                            F.col("tw").alias("tw_b")), "conv_id_b", "left")
+            .withColumn("tw_a", F.coalesce(F.col("tw_a"), F.expr("map()")))
+            .withColumn("tw_b", F.coalesce(F.col("tw_b"), F.expr("map()")))
             .withColumn("tfidf_cosine", F.expr(_TFIDF_DOT.format("tw_a", "tw_b")))
             .drop("tw_a", "tw_b")
         )

@@ -246,6 +246,11 @@ def q_pair_features(spark, sf_dir):
     sigs = docs.select(F.col("doc_id").alias("conv_id"),
                        F.col("text").alias("sig_text"))
     d = docs.select("doc_id", "source")
+    # ORACLE-HARNESS ONLY: all-pairs within a fixed-cardinality source
+    # block, chosen because DuckDB can replicate it exactly. The
+    # production candidate path is LSH blocking (operators/blocking.py
+    # lsh_block) — never copy this quadratic same-source self-join into a
+    # scale path (see round-1 ngram_jaccard lesson).
     cands = (
         d.select(F.col("source"), F.col("doc_id").alias("conv_id_a"))
         .join(d.select(F.col("source"), F.col("doc_id").alias("conv_id_b")),
@@ -295,11 +300,11 @@ SELECT p.id_a, p.id_b,
   least(length(p.ta), length(p.tb)) / greatest(length(p.ta), length(p.tb), 1)
     AS len_ratio,
   jaro_winkler_similarity(p.ta, p.tb) AS jaro_winkler,
-  round(coalesce(d.dot, 0.0) / (na.nrm * nb.nrm), 4) AS tfidf_cosine
+  round(coalesce(coalesce(d.dot, 0.0) / (na.nrm * nb.nrm), 0.0), 4) AS tfidf_cosine
 FROM pairs p
 LEFT JOIN dots d ON d.id_a = p.id_a AND d.id_b = p.id_b
-JOIN norms na ON na.doc_id = p.id_a
-JOIN norms nb ON nb.doc_id = p.id_b
+LEFT JOIN norms na ON na.doc_id = p.id_a
+LEFT JOIN norms nb ON nb.doc_id = p.id_b
 """
 
 
@@ -584,15 +589,19 @@ def q_tfidf_cosine_pairs(spark, sf_dir):
     DataFrame ops (explode -> tf -> df -> idf -> weight join -> dot/norms),
     no UDF; the distributed form of Magellan's cosine feature (F7)."""
     docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()
     toks = docs.select(
         "doc_id", "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
     )
     tf = toks.groupBy("doc_id", "source", "tok").agg(F.count("*").alias("tf"))
+    # N folds into the lazy plan as a broadcast 1-row aggregate — no
+    # separate eager count() job per invocation
+    n_row = docs.agg(F.count("*").cast("double").alias("_n"))
     idf = (
         tf.groupBy("tok")
         .agg(F.countDistinct("doc_id").alias("df"))
-        .withColumn("idf", F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df")))
+        .crossJoin(F.broadcast(n_row))
+        .withColumn("idf", F.log(F.lit(1.0) + F.col("_n") / F.col("df")))
+        .drop("_n")
     )
     # hot-token cap (df > 390 across the corpus): a stopword token in k
     # docs emits C(k,2) rows in the dots join below — quadratic at scale.
@@ -855,6 +864,57 @@ FROM part
 """
 
 
+def q_sequential_cascade(spark, sf_dir):
+    """The reference's SEQUENTIAL blocking mode end-to-end: cheap
+    token-overlap blocker first, edit-distance predicate on the survivors
+    only (reference script/model_magellan_ml.py:189-191 — overlap
+    candidates, then calculate_edit_block_bool, utilities.py:492-502;
+    grid cutoffs {50,60,70,80}).
+
+    Exercises the LIBRARY two-stage cascade: ``token_overlap_block`` (>=15
+    shared tokens, df cap 390 — same operating point as
+    q_token_overlap_block) -> ``edit_distance_filter`` at cutoff 32, which
+    at sf0.01 splits the 2,352 candidates 1,053 / 1,299 right at the bulk
+    of the ratio distribution (median 31.7) — both engines must agree on
+    the full levenshtein for every candidate near the boundary. The ratio
+    is a per-row arithmetic double (unrounded comparison, bit-identical
+    across engines); only ids are emitted, as the reference's boolean
+    predicate does."""
+    from neural_entity_matching_spark.operators.blocking import (
+        edit_distance_filter,
+        token_overlap_block,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cands, _stats = token_overlap_block(
+        docs, min_shared_tokens=15, text_col="text", id_col="doc_id",
+        max_token_df=390,
+    )
+    survivors = edit_distance_filter(
+        cands, docs, cutoff_ratio=32.0, id_col="doc_id", text_col="text",
+    )
+    return survivors.select(F.col("conv_id_a").alias("id_a"),
+                            F.col("conv_id_b").alias("id_b"))
+
+
+SQL_SEQUENTIAL_CASCADE = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+  FROM documents),
+keep AS (SELECT tok FROM toks GROUP BY tok HAVING count(*) <= 390),
+t AS (SELECT doc_id, tok FROM toks WHERE tok IN (SELECT tok FROM keep)),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 15)
+SELECT c.id_a, c.id_b
+FROM cand c JOIN documents da ON da.doc_id = c.id_a
+            JOIN documents db ON db.doc_id = c.id_b
+WHERE 100.0 * (1.0 - levenshtein(da.text, db.text)::DOUBLE
+               / greatest(length(da.text), length(db.text), 1)) >= 32.0
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -869,6 +929,7 @@ QUERIES = {
     "two_table_block": q_two_table_block,
     "pair_features": q_pair_features,
     "edit_distance_block": q_edit_distance_block,
+    "sequential_cascade": q_sequential_cascade,
     "seeded_sample": q_seeded_sample,
     "quantile_cutoffs": q_quantile_cutoffs,
     "group_stats": q_group_stats,
@@ -898,6 +959,7 @@ ORACLES = {
     "two_table_block": SQL_TWO_TABLE_BLOCK,
     "pair_features": SQL_PAIR_FEATURES,
     "edit_distance_block": SQL_EDIT_DISTANCE_BLOCK,
+    "sequential_cascade": SQL_SEQUENTIAL_CASCADE,
     "seeded_sample": SQL_SEEDED_SAMPLE,
     "quantile_cutoffs": SQL_QUANTILE_CUTOFFS,
     "group_stats": SQL_GROUP_STATS,

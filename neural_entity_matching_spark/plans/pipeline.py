@@ -37,19 +37,40 @@ from neural_entity_matching_spark.sources.io import CheckpointManager, fingerpri
 # model_magellan_ml.py:383-430)
 STAGE_FIELDS = {
     "signatures": (),
-    "candidates": ("num_hashes", "bands", "char_ngram", "seed", "block_cap"),
-    "scored": ("threshold", "w_lev", "w_jacc", "exact_scores"),
+    "candidates": ("blocker", "num_hashes", "bands", "char_ngram", "seed",
+                   "block_cap", "seq_min_tokens", "seq_cutoff",
+                   "seq_max_token_df"),
+    "scored": ("scorer", "threshold", "w_lev", "w_jacc", "exact_scores",
+               "ml_seed"),
     "clusters": (),
 }
 
 
 @dataclass
 class PipelineConfig:
+    # blocking axis — the reference grid sweeps blocker type
+    # {lsh, sequential} x params (model_magellan_ml.py:183-193,383-396):
+    # 'lsh' = MinHash-LSH band join; 'sequential' = token-overlap
+    # candidates then edit-distance filter on survivors
+    blocker: str = "lsh"
     num_hashes: int = 128
     bands: int = 64
     char_ngram: int = 8
     seed: int = 42
     block_cap: int = 35
+    # sequential-blocker params (reference overlap_size and
+    # cutoff_distance in {50,60,70,80}, model_magellan_ml.py:391)
+    seq_min_tokens: int = 2
+    seq_cutoff: float = 60.0
+    seq_max_token_df: int | None = 1000
+    # scoring axis — 'threshold' (deterministic linear) or a trained
+    # matcher 'logistic' | 'gbt' | 'random_forest' (reference M1, trained
+    # on the post-blocking labeled candidates; requires labeled_pairs).
+    # NOTE: a trained scorer's output depends on the label table — callers
+    # must fold the label-set identity into input_fingerprint or stale
+    # scored snapshots will resume across label changes.
+    scorer: str = "threshold"
+    ml_seed: int = 0
     threshold: float = 0.55
     w_lev: float = 0.5
     w_jacc: float = 0.5
@@ -106,12 +127,15 @@ def run_pipeline(
     config: PipelineConfig | None = None,
     input_fingerprint: str = "",
     run_id: str = "run",
+    labeled_pairs: DataFrame | None = None,
 ) -> tuple[DataFrame, PipelineReport]:
     """Run (or resume) the full chain; returns (clusters, report).
 
     ``input_fingerprint`` should identify the input snapshot (e.g. the
     Iceberg snapshot id of the transcripts table); stages re-run only when
-    it or the config changes.
+    it or the config changes. ``labeled_pairs`` (conv_id_a, conv_id_b, y)
+    is required when ``config.scorer`` is a trained matcher — its identity
+    should be part of ``input_fingerprint`` (see PipelineConfig note).
     """
     cfg = config or PipelineConfig()
     ckpt = CheckpointManager(spark, checkpoint_dir)
@@ -140,6 +164,27 @@ def run_pipeline(
     pair_handle: list[DataFrame] = []
 
     def compute_candidates():
+        if cfg.blocker == "sequential":
+            # reference sequential mode: cheap token-overlap candidates,
+            # edit-distance predicate on the survivors only
+            # (model_magellan_ml.py:189-191)
+            from neural_entity_matching_spark.operators.blocking import (
+                edit_distance_filter,
+                token_overlap_block,
+            )
+
+            cand, stats = token_overlap_block(
+                sig_res.df, min_shared_tokens=cfg.seq_min_tokens,
+                max_token_df=cfg.seq_max_token_df,
+            )
+            pairs = edit_distance_filter(
+                cand, sig_res.df, cutoff_ratio=cfg.seq_cutoff)
+            report.stages["_blocking_stats"] = {
+                "strategy": "sequential",
+                "hot_tokens_dropped": stats.extra.get("hot_tokens_dropped"),
+                "capped_at": stats.capped_at,
+            }
+            return pairs
         pairs, stats = lsh_block(
             sig_res.df,
             num_hashes=cfg.num_hashes, bands=cfg.bands,
@@ -159,12 +204,42 @@ def run_pipeline(
     for h in pair_handle:
         h.unpersist()
 
+    feat_handle: list[DataFrame] = []
+
     def compute_scored():
         # run-length locality: consecutive pairs share conv_id_a, so the
         # payload probe's entry stays cache-hot (in-partition sort, no
         # exchange; the scoring stage is bandwidth-bound at high core
         # counts)
         cand = cand_res.df.sortWithinPartitions("conv_id_a")
+        if cfg.scorer in ("logistic", "gbt", "random_forest"):
+            # trained matcher (reference M1): featurize once, train on the
+            # label-attached candidates (negatives implied by absence),
+            # score every candidate with the broadcast model — with the
+            # reference's degenerate single-class bypass
+            from neural_entity_matching_spark.operators.ml_scorer import (
+                score_with_model,
+                train_scorer,
+            )
+            from neural_entity_matching_spark.operators.scoring import (
+                attach_labels,
+                degenerate_scorer,
+                is_single_class,
+            )
+
+            if labeled_pairs is None:
+                raise ValueError(
+                    f"scorer={cfg.scorer!r} needs labeled_pairs")
+            feats = featurize_pairs(
+                cand, sig_res.df,
+                broadcast_signatures=cfg.broadcast_signatures,
+            ).persist()
+            feat_handle.append(feats)  # fit + transform share one pass
+            labeled = attach_labels(feats, labeled_pairs)
+            if is_single_class(labeled):
+                return degenerate_scorer(feats)
+            model = train_scorer(labeled, model=cfg.scorer, seed=cfg.ml_seed)
+            return score_with_model(model, feats, threshold=cfg.threshold)
         if cfg.exact_scores:
             return threshold_scorer(
                 featurize_pairs(cand, sig_res.df,
@@ -181,6 +256,8 @@ def run_pipeline(
         "scored", cand_res.snapshot_id, compute_scored,
         repartition_by=["conv_id_a"],
     )
+    for h in feat_handle:
+        h.unpersist()
 
     cluster_res = stage(
         "clusters",
@@ -241,6 +318,7 @@ def run_grid(
         _, report = run_pipeline(
             spark, transcripts, checkpoint_dir, cfg,
             input_fingerprint=input_fingerprint, run_id=rid,
+            labeled_pairs=labeled_pairs,
         )
         reports.append(report)
         cand = report.outputs["candidates"]

@@ -19,6 +19,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    tmpfs_shuffle: bool | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for this engine.
 
@@ -52,13 +53,22 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
-    # shuffle/spill files default to /tmp — on this sandbox a throttled
+    # shuffle/spill files default to /tmp — on the dev sandbox a throttled
     # virtual block device whose IOPS stalls serialize whole stages
     # unpredictably (measured: multi-second 5%-CPU dips wandering between
     # phases run-to-run). A real cluster puts shuffle on local NVMe; the
-    # tmpfs stand-in restores that assumption. Override/disable with
-    # SPARK_LOCAL_DIRS.
-    if "SPARK_LOCAL_DIRS" not in os.environ and os.path.isdir("/dev/shm"):
+    # tmpfs stand-in restores that assumption — but shuffle-on-RAM can OOM
+    # a host whose shuffle would otherwise spill to disk, so it is OPT-IN
+    # (``tmpfs_shuffle=True`` or NEM_TMPFS_SHUFFLE=1; the bench/test entry
+    # points enable it, library callers get Spark's default spill path).
+    # SPARK_LOCAL_DIRS always wins.
+    if tmpfs_shuffle is None:
+        tmpfs_shuffle = os.environ.get("NEM_TMPFS_SHUFFLE", "") == "1"
+    if (
+        tmpfs_shuffle
+        and "SPARK_LOCAL_DIRS" not in os.environ
+        and os.path.isdir("/dev/shm")
+    ):
         local_dir = "/dev/shm/spark-local"
         os.makedirs(local_dir, exist_ok=True)
         builder = builder.config("spark.local.dir", local_dir)

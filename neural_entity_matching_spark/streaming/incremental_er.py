@@ -7,13 +7,19 @@ Each micro-batch here touches only the conversations whose turns arrived:
 
 1. accumulate the raw turn history (epoch-partitioned, replay-idempotent)
    and rebuild signatures for TOUCHED conv_ids from the FULL history;
-2. upsert those signatures into the signature store;
-3. block TOUCHED signatures against the WHOLE store with the same seeded
-   MinHash-LSH band keys as the batch blocker (two-table join: lhs =
-   touched, rhs = store), so per-batch blocking work is
-   O(|touched| * bands), not O(|store|);
+2. run the MinHash band-key UDF over the touched signatures ONLY —
+   O(|touched| * bands) hashing per batch — and upsert both the
+   signature store and a persistent BAND-KEY store (``keys/``); the
+   store side of blocking always reads previously-computed keys, it
+   never re-fingerprints the corpus;
+3. block touched keys against the stored keys (two-table join: lhs =
+   touched, rhs = key store). The rhs is a columnar scan of stored
+   int64 keys — at deployment an Iceberg table bucketed by block_key,
+   so the join prunes to the buckets the touched keys actually hit;
 4. score candidates with the decision-bit-exact banded-levenshtein
-   cascade and append (epoch, pair, score, is_match) to the match log.
+   cascade — the signature payload is the store SEMI-JOINED to the ids
+   that occur in this batch's candidates (never a broadcast of the full
+   store) — and append (epoch, pair, score, is_match) to the match log.
 
 Convergence semantics: a pair's LATEST evaluation always sees both
 signatures complete — whichever side received turns last re-evaluates the
@@ -24,21 +30,35 @@ stream drains. Stale earlier evaluations are superseded, never deleted
 (the log is also the audit trail / lineage).
 
 Block caps are applied at EVALUATION time: the rhs of the two-table join
-is the whole store, so a band oversized in the store is dropped exactly
-like the batch blocker drops it — but pairs evaluated in earlier epochs,
-while the band was still under the cap, REMAIN in the log. That is a
-deliberate semantic choice, not drift: the cap exists to bound quadratic
-COST, and the cost of those early pairs was already paid when the block
-was small. Consequently the converged match set is a superset of the
-batch set when a hot block crosses the cap mid-stream (strictly more
-recall for the same bound on per-epoch work), and exactly equal whenever
-no block crosses the cap during the stream (test-verified both ways).
+is the whole key store, so a band oversized in the store is dropped
+exactly like the batch blocker drops it — but pairs evaluated in earlier
+epochs, while the band was still under the cap, REMAIN in the log. That
+is a deliberate semantic choice, not drift: the cap exists to bound
+quadratic COST, and the cost of those early pairs was already paid when
+the block was small. Consequently the converged match set is a superset
+of the batch set when a hot block crosses the cap mid-stream (strictly
+more recall for the same bound on per-epoch work), and exactly equal
+whenever no block crosses the cap during the stream (test-verified both
+ways).
+
+Sandbox seam: the two store upserts rewrite parquet (crash-safe
+write-next-then-swing); at deployment both are a single Iceberg
+``MERGE INTO`` keyed on conv_id and the per-epoch IO is O(|touched|),
+not O(|store|). The COMPUTE is O(|touched|) here too — that is what the
+persistent key store buys.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from neural_entity_matching_spark.functions.normalize import build_signatures
+from neural_entity_matching_spark.operators.blocking import (
+    lsh_band_keys,
+    two_table_pairs_from_block_keys,
+)
+from neural_entity_matching_spark.operators.scoring import fast_threshold_score
 
 
 def incremental_er(
@@ -58,17 +78,12 @@ def incremental_er(
 
         turns/epoch=N/   raw turn history (idempotent per epoch)
         sigs/            current signature store (conv_id, sig_text, ...)
+        keys/            current band-key store (conv_id, block_key)
         matches/epoch=N/ match-log rows (conv_id_a/b, score, is_match)
     """
-    from neural_entity_matching_spark.functions.normalize import build_signatures
-    from neural_entity_matching_spark.operators.blocking import (
-        lsh_band_keys,
-        two_table_pairs_from_block_keys,
-    )
-    from neural_entity_matching_spark.operators.scoring import fast_threshold_score
-
     turns_dir = f"{work_dir}/turns"
     sigs_dir = f"{work_dir}/sigs"
+    keys_dir = f"{work_dir}/keys"
     matches_dir = f"{work_dir}/matches"
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
@@ -86,41 +101,61 @@ def incremental_er(
         touched_sigs = build_signatures(history).persist()
         touched_sigs.count()
 
-        # 2. signature-store upsert (Iceberg MERGE INTO at deployment;
-        #    parquet rewrite in the sandbox)
-        try:
-            existing = spark_.read.parquet(sigs_dir)
-            keep = existing.join(touched_ids, "conv_id", "left_anti")
-            store = keep.unionByName(touched_sigs)
-        except Exception:
-            store = touched_sigs
-        store.write.mode("overwrite").parquet(sigs_dir + "_next")
-        spark_.read.parquet(sigs_dir + "_next").write.mode(
-            "overwrite").parquet(sigs_dir)
-        store = spark_.read.parquet(sigs_dir)
+        # the batch's ONLY minhash invocation — O(|touched| * bands);
+        # stored keys are never re-derived (module docstring step 2)
+        keys_touched = lsh_band_keys(
+            touched_sigs, num_hashes, bands, char_ngram, seed
+        ).persist()
+        keys_touched.count()
 
-        # 3. touched x store blocking with the batch blocker's exact keys
-        keys_lhs = lsh_band_keys(touched_sigs, num_hashes, bands,
-                                 char_ngram, seed)
-        keys_rhs = lsh_band_keys(store, num_hashes, bands, char_ngram, seed)
-        cand, _stats = two_table_pairs_from_block_keys(
-            keys_lhs, keys_rhs, block_cap=block_cap)
+        # 2. upsert signature + band-key stores (Iceberg MERGE INTO at
+        #    deployment; crash-safe parquet rewrite in the sandbox)
+        def upsert(dir_: str, new_rows: DataFrame) -> DataFrame:
+            try:
+                existing = spark_.read.parquet(dir_)
+                merged = existing.join(
+                    touched_ids, "conv_id", "left_anti"
+                ).unionByName(new_rows)
+            except Exception:
+                merged = new_rows
+            merged.write.mode("overwrite").parquet(dir_ + "_next")
+            spark_.read.parquet(dir_ + "_next").write.mode(
+                "overwrite").parquet(dir_)
+            return spark_.read.parquet(dir_)
+
+        store = upsert(sigs_dir, touched_sigs)
+        keys_store = upsert(keys_dir, keys_touched)
+
+        # 3. touched x store blocking on STORED rhs keys (columnar scan,
+        #    no UDF); keep the blocker's persisted handle for release
+        raw_cand, _stats = two_table_pairs_from_block_keys(
+            keys_touched, keys_store, block_cap=block_cap)
         cand = (
-            cand.filter(F.col("conv_id_a") != F.col("conv_id_b"))
+            raw_cand.filter(F.col("conv_id_a") != F.col("conv_id_b"))
             .select(F.least("conv_id_a", "conv_id_b").alias("conv_id_a"),
                     F.greatest("conv_id_a", "conv_id_b").alias("conv_id_b"))
             .dropDuplicates(["conv_id_a", "conv_id_b"])
         )
 
-        # 4. score + append to the match log (persist before any is_match
-        #    consumer — see fast_threshold_score's consumption rule)
+        # 4. score + append to the match log. The payload is the store
+        #    restricted to ids this batch's candidates actually reference
+        #    — broadcast O(|touched| * avg-block), never the full store.
+        #    (persist before any is_match consumer — see
+        #    fast_threshold_score's consumption rule)
+        cand_ids = (
+            cand.select(F.col("conv_id_a").alias("conv_id"))
+            .unionByName(cand.select(F.col("conv_id_b").alias("conv_id")))
+            .distinct()
+        )
+        payload = store.join(cand_ids, "conv_id")
         scored = fast_threshold_score(
-            cand, store, threshold=threshold, broadcast_signatures=True
+            cand, payload, threshold=threshold, broadcast_signatures=True
         ).select("conv_id_a", "conv_id_b", "score", "is_match")
         scored.write.mode("overwrite").parquet(
             f"{matches_dir}/epoch={epoch_id}")
         touched_sigs.unpersist()
-        cand.unpersist()
+        keys_touched.unpersist()
+        raw_cand.unpersist()
 
     return (
         turns.writeStream.foreachBatch(handle)

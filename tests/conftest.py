@@ -5,7 +5,7 @@ from neural_entity_matching_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="nem-tests", master="local[4]", shuffle_partitions=4)
+    s = get_spark(app_name="nem-tests", master="local[4]", shuffle_partitions=4, tmpfs_shuffle=True)
     yield s
     s.stop()
 

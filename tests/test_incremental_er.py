@@ -39,10 +39,25 @@ def _batch_matches(spark, src, block_cap):
     }, sigs
 
 
-def test_incremental_er_converges_to_batch(spark, tmp_path):
+def test_incremental_er_converges_to_batch(spark, tmp_path, monkeypatch):
     src = str(tmp_path / "turns_src")
     work = str(tmp_path / "er_work")
     _write_src(spark, src)
+
+    # spy on the band-key UDF entry: per batch it must hash the TOUCHED
+    # signatures only — O(|touched| * bands), never O(|store|)
+    from neural_entity_matching_spark.streaming import (
+        incremental_er as inc_mod,
+    )
+
+    udf_input_rows = []
+    real_band_keys = inc_mod.lsh_band_keys
+
+    def spy(sigs, *a, **k):
+        udf_input_rows.append(sigs.count())
+        return real_band_keys(sigs, *a, **k)
+
+    monkeypatch.setattr(inc_mod, "lsh_band_keys", spy)
 
     # cap=100 > every block (incl. the 40-member greeting hot block): no
     # block crosses the cap mid-stream, so streaming == batch EXACTLY
@@ -53,6 +68,23 @@ def test_incremental_er_converges_to_batch(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
+
+    # exactly one minhash invocation per micro-batch, each over exactly
+    # that epoch's touched conversations (read back from the turn log)
+    import re
+
+    epoch_dirs = sorted(
+        (tmp_path / "er_work" / "turns").glob("epoch=*"),
+        key=lambda p: int(re.search(r"\d+", p.name).group()),
+    )
+    touched_per_epoch = [
+        spark.read.parquet(str(d)).select("conv_id").distinct().count()
+        for d in epoch_dirs
+    ]
+    assert len(epoch_dirs) >= 2, "fixture should produce several batches"
+    assert udf_input_rows == touched_per_epoch
+    n_store = spark.read.parquet(f"{work}/sigs").count()
+    assert max(udf_input_rows) < n_store  # never re-hashed the full store
 
     got = {
         (r["conv_id_a"], r["conv_id_b"])

@@ -40,7 +40,7 @@ def main() -> int:
     from neural_entity_matching_spark.session import get_spark
 
     spark = get_spark(app_name="contract-check", master="local[8]",
-                      shuffle_partitions=8)
+                      shuffle_partitions=8, tmpfs_shuffle=True)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
