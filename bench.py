@@ -5,14 +5,34 @@ Headline set = the scale-path operators (LSH dedup, TF-IDF cosine, ANN
 top-k, windowed agg, sessionization, joins/aggs) over the driver tables,
 plus the flagship ER pipeline (signature -> LSH block -> featurize ->
 score -> cluster) over a deterministic synthetic transcript corpus sized
-to the scale factor. The extra key ``pairs_scored_per_sec`` is the
-north-rule throughput metric (candidate pairs scored per second).
+to the scale factor.
+
+Measurement protocol (the same discipline as bench/scaling.py): the
+WHOLE query set runs ``SPARK_GRAFT_BENCH_ROUNDS`` (default 3) full
+interleaved rounds and the reported per-query number is the MEDIAN
+across rounds; the raw per-round values are published under
+``queries_raw``. This kills two artifacts that polluted earlier
+single-shot runs: (a) first-run fixed costs — whole-stage-codegen JIT,
+Python-UDF worker fork + pandas/arrow import — which measured 2-4x on
+top of steady-state for the ER chain, and (b) this host's multi-minute
+noisy-neighbor slow windows, which inflate whichever single run they
+happen to overlap (round 2's unattributed "regression" of er_pipeline,
+36.0s vs 21.4s for byte-identical output, was exactly these two
+artifacts; steady-state is ~8s).
+
+Throughput keys: ``pairs_scored_per_sec`` is candidate pairs scored per
+END-TO-END pipeline second (includes signature build, blocking and
+clustering — the harness number); ``pairs_scored_per_sec_scoring_only``
+divides by the scoring stage alone, which is the number comparable to
+the north-rule per-executor scoring throughput (the other stages
+amortize at real scale but dominate a 3k-doc harness run).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -37,72 +57,106 @@ BENCH_QUERIES = [
 ER_N_BASE = {0.001: 100, 0.01: 600, 0.1: 3000}
 
 
-def run_er_pipeline(spark, n_base: int) -> tuple[float, int, dict]:
-    """Full ER chain on the synthetic corpus; returns (seconds, pairs, info)."""
+def run_er_pipeline(spark, transcripts) -> dict:
+    """Full ER chain on the (pre-cached) synthetic corpus; returns
+    per-stage wall times + outputs. ``transcripts`` is cached by the
+    caller so synthesis/upload stay outside the timed section."""
     from pyspark.sql import functions as F
 
     from neural_entity_matching_spark.functions.normalize import build_signatures
     from neural_entity_matching_spark.operators.blocking import lsh_block
     from neural_entity_matching_spark.operators.clustering import connected_components
     from neural_entity_matching_spark.operators.scoring import fast_threshold_score
-    from neural_entity_matching_spark.sources.synth import to_spark
-
-    transcripts, _, _ = to_spark(spark, n_base=n_base, seed=42)
-    transcripts = transcripts.cache()
-    transcripts.count()  # exclude synthesis + upload from the timed section
 
     t0 = time.monotonic()
     sigs = build_signatures(transcripts).cache()
-    # scale path: int64 dictionary-encoded ids flow end-to-end; payload
-    # join keys on xxhash64(conv_id); clustering runs on the encoded ids
-    # (cluster counts are id-representation-invariant)
+    # scale path: dense-rank int64 ids flow end-to-end, candidate pairs
+    # shuffle PACKED as one long through the dedup exchange (the blocking
+    # stage's largest exchange — measured 21.9s -> 15.1s at 4x1-core
+    # executors); clustering runs on the encoded ids (cluster counts are
+    # id-representation-invariant). No locality sort of the pairs here:
+    # sortWithinPartitions before scoring was A/B measured a net LOSS on
+    # local[32] at both 261k and 5.0M pairs (medians 8.3s vs 7.3s
+    # end-to-end; 12.5s vs 11.1s scoring) — it only pays on
+    # bandwidth-starved 1-core executors (bench/scaling_worker.py,
+    # where it remains on).
     candidates, stats = lsh_block(
         sigs, num_hashes=128, bands=64, char_ngram=8, seed=42, block_cap=35,
-        decode_ids=False,
+        strategy="packed",
     )
-    sigs_iid = sigs.select(F.xxhash64("conv_id").alias("conv_id"), "sig_text")
+    t1 = time.monotonic()
+    sigs_iid = (
+        sigs.join(F.broadcast(stats.extra["id_mapping"]),
+                  sigs.conv_id == F.col("_id"))
+        .select(F.col("iid").alias("conv_id"), "sig_text")
+    )
     scored = fast_threshold_score(
-        candidates.sortWithinPartitions("conv_id_a"), sigs_iid,
-        threshold=0.55, broadcast_signatures=True,
+        candidates, sigs_iid, threshold=0.55, broadcast_signatures=True,
     ).cache()
     n_pairs = scored.count()  # materialize BEFORE filtering is_match
+    t2 = time.monotonic()
     clusters = connected_components(
         scored.filter(F.col("is_match") == 1).select("conv_id_a", "conv_id_b"),
         vertices=sigs_iid,
     )
     n_clusters = clusters.select("cluster_id").distinct().count()
     stats.extra["id_mapping"].unpersist()
-    wall = time.monotonic() - t0
+    stats.extra["packed_pairs"].unpersist()
+    t3 = time.monotonic()
     scored.unpersist()
-    transcripts.unpersist()
     sigs.unpersist()
-    return wall, n_pairs, {"clusters": n_clusters, "oversized_blocks": stats.oversized_blocks}
+    return {
+        "wall": t3 - t0,
+        "block_wall": t1 - t0,
+        "score_wall": t2 - t1,
+        "cluster_wall": t3 - t2,
+        "pairs": n_pairs,
+        "clusters": n_clusters,
+        "oversized_blocks": stats.oversized_blocks,
+    }
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
 
     from neural_entity_matching_spark.plans import contract
     from neural_entity_matching_spark.session import get_spark
+    from neural_entity_matching_spark.sources.synth import to_spark
 
     spark = get_spark(
         app_name="nem-bench", master=f"local[{cpus}]", shuffle_partitions=cpus,
         tmpfs_shuffle=True)
 
-    queries: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = contract.QUERIES[name]
-        t0 = time.monotonic()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        queries[name] = round(time.monotonic() - t0, 3)
-
     n_base = ER_N_BASE.get(sf, max(100, int(30000 * sf)))
-    er_wall, n_pairs, info = run_er_pipeline(spark, n_base)
-    queries["er_pipeline"] = round(er_wall, 3)
+    transcripts, _, _ = to_spark(spark, n_base=n_base, seed=42)
+    transcripts = transcripts.cache()
+    transcripts.count()
 
+    raw: list[dict[str, float]] = []
+    er_runs: list[dict] = []
+    for _ in range(rounds):
+        q: dict[str, float] = {}
+        for name in BENCH_QUERIES:
+            fn = contract.QUERIES[name]
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            q[name] = round(time.monotonic() - t0, 3)
+        er = run_er_pipeline(spark, transcripts)
+        q["er_pipeline"] = round(er["wall"], 3)
+        raw.append(q)
+        er_runs.append(er)
+
+    queries = {
+        name: round(statistics.median(r[name] for r in raw), 3)
+        for name in raw[0]
+    }
     total = round(sum(queries.values()), 3)
+    er_wall = statistics.median(e["wall"] for e in er_runs)
+    score_wall = statistics.median(e["score_wall"] for e in er_runs)
+    n_pairs = er_runs[0]["pairs"]
     out = {
         "metric": "total_headline_seconds",
         "value": total,
@@ -110,9 +164,23 @@ def main() -> None:
         "queries": queries,
         "sf": sf,
         "cpus": cpus,
+        "rounds": rounds,
+        "protocol": "median over interleaved full rounds; raw in queries_raw",
+        "queries_raw": raw,
         "er_pairs_scored": n_pairs,
         "pairs_scored_per_sec": round(n_pairs / er_wall, 1) if er_wall else 0.0,
-        "er_info": info,
+        "pairs_scored_per_sec_scoring_only": (
+            round(n_pairs / score_wall, 1) if score_wall else 0.0
+        ),
+        "er_info": {
+            "clusters": er_runs[0]["clusters"],
+            "oversized_blocks": er_runs[0]["oversized_blocks"],
+            "block_wall_median": round(statistics.median(
+                e["block_wall"] for e in er_runs), 3),
+            "score_wall_median": round(score_wall, 3),
+            "cluster_wall_median": round(statistics.median(
+                e["cluster_wall"] for e in er_runs), 3),
+        },
     }
     spark.stop()
     print(json.dumps(out))

@@ -115,11 +115,11 @@ def main() -> None:
 
     md = f"""# BENCH/BASELINE — throughput & scaling evidence
 
-Workload: the full ER candidate chain — MinHash-LSH blocking (int64
-dictionary-encoded ids, grouped hash-agg pair generation, capped blocks)
--> banded-levenshtein fused scorer (decision-bit-exact vs the exact
-featurize+threshold path) — on the deterministic synthetic transcript
-corpus. Results are byte-identical at both cluster sizes and every corpus
+Workload: the full ER candidate chain — MinHash-LSH blocking (dense-rank
+int64 ids, grouped hash-agg pair generation, pairs PACKED into one int64
+through the dedup exchange, capped blocks) -> banded-levenshtein fused
+scorer (decision-bit-exact vs the exact featurize+threshold path) — on
+the deterministic synthetic transcript corpus. Results are byte-identical at both cluster sizes and every corpus
 size (seeded hashing only; no row-order dependence).
 
 ## Headline: N vs 4N executors (median of {rounds} interleaved rounds)
@@ -169,7 +169,20 @@ terms.
   predicate and re-evaluates it per reference (measured 20x: 313s vs 16s
   on 11.6M pairs);
 * candidates sorted within partitions by conv_id_a before scoring:
-  run-length cache locality for the broadcast payload probes;
+  run-length cache locality for the broadcast payload probes (pays ONLY
+  on bandwidth-starved 1-core executors; A/B measured a net loss on
+  local[32], so the library pipeline keeps it opt-in);
+* round 3 — candidate pairs PACKED into one int64 (dense-rank ids,
+  a*2^32+b) through the pair-dedup exchange, the blocking stage's
+  largest: 21.9s -> 15.1s at 4x1 executors on 30.0M pre-dedup rows;
+  the candidate cache stays packed (half the bytes) and the unpack
+  projection fuses into the scoring stage;
+* round 3 — 8 tasks/core shuffle partitioning was trialled (isolated
+  A/B: ~10% median scoring win at 4x1 from smoothing the 2-wave
+  (7+1)/8 straggler tail, +10% cost at 1 core) but the INTEGRATED
+  chain measured slower at both levels, so 2 tasks/core stands
+  (NEM_SHUFFLE_FACTOR to override); run-to-run host noise at 4
+  executors (raw spreads up to 50%) exceeds the wave effect;
 * executor registration awaited before caching (otherwise every cached
   partition lands on executor 1 and locality pins ALL downstream work
   there — a silent 1-executor run);

@@ -52,15 +52,17 @@ def main() -> None:
                 os.path.dirname(os.path.abspath(__file__))
             ),
         }
-    # cores*2 shuffle partitions measured best at these scales: finer
-    # partitioning (32 at 1-4 cores) was tried for cache-sized dedup hash
-    # tables and LOST ~20% at both levels — per-task scheduling + shuffle
-    # file overhead and shorter conv_id_a locality runs outweigh the
-    # smaller aggregation state
+    # cores*2 shuffle partitions (NEM_SHUFFLE_FACTOR to override).
+    # Factor 8 was trialled for wave smoothing — isolated A/Bs showed a
+    # ~10% median scoring win at 4x1 cores (2 waves had a visible (7+1)/8
+    # straggler tail) but +10% at 1 core — yet the INTEGRATED chain at
+    # factor 8 measured slower at BOTH levels (blocking exchanges and the
+    # scoring stage), so the known-good factor 2 stands; on this host the
+    # run-to-run noise (E4 raw spreads up to 50%) exceeds the wave effect
     spark = get_spark(
         app_name=f"nem-scaling-{executors}x{CORES_PER_EXECUTOR}",
         master=master,
-        shuffle_partitions=cores * 2,
+        shuffle_partitions=cores * int(os.environ.get("NEM_SHUFFLE_FACTOR", "2")),
         extra_conf=extra,
         tmpfs_shuffle=True,
     )
@@ -87,26 +89,40 @@ def main() -> None:
 
     stages = {}
     t0 = time.monotonic()
-    # dictionary-encoded ids flow END-TO-END: candidate pairs stay int64,
-    # the payload join keys on xxhash64(conv_id), and only final MATCHES
-    # (~0.7% of pairs) are decoded back to real ids at the boundary —
-    # decoding every candidate pair is wasted shuffle width at scale
+    # dictionary-encoded ids flow END-TO-END: candidate pairs shuffle as
+    # ONE packed int64 (dense-rank ids, a*2^32+b) through the dedup
+    # exchange — the blocking stage's largest exchange, measured 21.9s ->
+    # 15.1s at 4x1-core executors on 30.0M pre-dedup rows — and only
+    # final MATCHES (~0.6% of pairs) are decoded back to real ids at the
+    # boundary (decoding every candidate is wasted shuffle width at scale)
     candidates, bstats = lsh_block(
         sigs, num_hashes=128, bands=64, char_ngram=8, seed=42, block_cap=35,
-        decode_ids=False,
+        strategy="packed",
     )
     n_pairs = bstats.extra["n_pairs"]
     stages["blocking_sec"] = round(time.monotonic() - t0, 2)
 
     t1 = time.monotonic()
+    packed = bstats.extra["packed_pairs"]
     if os.environ.get("NEM_CLUSTER_BY_A", "1") == "1":
         # run-length locality for the scoring probes: consecutive rows
-        # share conv_id_a, so the broadcast-map entry (string + token
+        # share conv_id_a (and nearly share conv_id_b — the packed long
+        # sorts by the pair), so the broadcast-map entry (string + token
         # array, ~1.3KB) stays cache-resident across a run instead of a
         # random DRAM fetch per pair — the scoring stage is
-        # bandwidth-bound, not CPU-bound, at high core counts
-        candidates = candidates.sortWithinPartitions("conv_id_a")
-    sigs_iid = sigs.select(F.xxhash64("conv_id").alias("conv_id"), "sig_text")
+        # bandwidth-bound, not CPU-bound, at high core counts. Sorting
+        # the single packed long is cheaper than sorting two columns.
+        packed = packed.sortWithinPartitions("pk")
+    candidates = packed.select(
+        F.floor(F.col("pk") / F.lit(1 << 32)).cast("long").alias("conv_id_a"),
+        F.pmod("pk", F.lit(1 << 32)).alias("conv_id_b"),
+    )
+    # dense ids are ranks, not hashes: payload keys come from the mapping
+    sigs_iid = (
+        sigs.join(F.broadcast(bstats.extra["id_mapping"]),
+                  sigs.conv_id == F.col("_id"))
+        .select(F.col("iid").alias("conv_id"), "sig_text")
+    )
     scored = fast_threshold_score(
         candidates, sigs_iid, threshold=0.55, broadcast_signatures=True
     ).persist()

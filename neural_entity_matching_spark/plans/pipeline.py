@@ -77,6 +77,11 @@ class PipelineConfig:
     # broadcast the signature table into the featurize joins — valid while
     # signatures fit an executor; keep False at full table scale
     broadcast_signatures: bool = False
+    # in-partition sort of candidates by conv_id_a before scoring for
+    # payload-probe cache locality — pays only on bandwidth-starved
+    # few-core executors; measured a net loss on many-core hosts
+    # (see compute_scored)
+    cluster_pairs_by_a: bool = False
     # exact_scores=False uses the banded-levenshtein cascade: identical
     # match decisions, exact scores on matches, upper-bounded scores on
     # non-matches, ~order-of-magnitude less edit-distance work
@@ -207,11 +212,16 @@ def run_pipeline(
     feat_handle: list[DataFrame] = []
 
     def compute_scored():
-        # run-length locality: consecutive pairs share conv_id_a, so the
-        # payload probe's entry stays cache-hot (in-partition sort, no
-        # exchange; the scoring stage is bandwidth-bound at high core
-        # counts)
-        cand = cand_res.df.sortWithinPartitions("conv_id_a")
+        cand = cand_res.df
+        if cfg.cluster_pairs_by_a:
+            # run-length locality: consecutive pairs share conv_id_a, so
+            # the payload probe's entry stays cache-hot. Opt-in: it pays
+            # on bandwidth-starved 1-core executors (measured in
+            # bench/scaling_worker.py) but A/B measured a net LOSS on
+            # local[32] at 261k AND 5.0M pairs (the in-partition sort's
+            # fixed cost exceeds the probe-locality win when many cores
+            # share one cache hierarchy).
+            cand = cand.sortWithinPartitions("conv_id_a")
         if cfg.scorer in ("logistic", "gbt", "random_forest"):
             # trained matcher (reference M1): featurize once, train on the
             # label-attached candidates (negatives implied by absence),

@@ -33,6 +33,94 @@ def test_salted_equals_unsalted(spark):
     assert len(p) == 120 * 119 // 2 + 100 * 3  # hot pairs + C(3,2) per normal blk
 
 
+def test_packed_equals_grouped(spark):
+    """Packed single-long pair generation (dense ids) produces exactly the
+    unsalted pair set after decoding through its id mapping, with
+    identical cap/stats semantics."""
+    from neural_entity_matching_spark.operators.blocking import (
+        packed_pairs_from_block_keys,
+    )
+
+    keys = _hot_keys(spark)
+    plain, s1 = pairs_from_block_keys(keys, block_cap=100)  # cap drops HOT
+    packed, s2 = packed_pairs_from_block_keys(keys, block_cap=100)
+    m = s2.extra["id_mapping"]
+    decoded = (
+        packed
+        .join(m.select(F.col("iid").alias("conv_id_a"),
+                       F.col("_id").alias("_ida")), "conv_id_a")
+        .join(m.select(F.col("iid").alias("conv_id_b"),
+                       F.col("_id").alias("_idb")), "conv_id_b")
+        .select(F.least("_ida", "_idb").alias("conv_id_a"),
+                F.greatest("_ida", "_idb").alias("conv_id_b"))
+    )
+    p = {(r["conv_id_a"], r["conv_id_b"]) for r in plain.collect()}
+    q = {(r["conv_id_a"], r["conv_id_b"]) for r in decoded.collect()}
+    assert p == q and len(p) == 100 * 3
+    assert s2.oversized_blocks == s1.oversized_blocks == 1
+    assert s2.dropped_memberships == s1.dropped_memberships == 120
+    assert s2.extra["n_pairs"] == len(p)
+    # dense ids are a permutation of 0..n-1 (rank encoding, no collisions)
+    ids = sorted(r["iid"] for r in m.collect())
+    assert ids == list(range(len(ids)))
+    m.unpersist()
+    s2.extra["packed_pairs"].unpersist()
+
+
+def test_dense_id_mapping_bijection_multi_partition(spark):
+    """Rank assignment must be a bijection 0..n-1 over MANY partitions —
+    regression for the double-evaluation hazard where the offsets pass and
+    the rank pass saw different sampled range bounds and assigned
+    duplicate iids (observed at 176k ids before the mapping pinned one
+    materialized partitioning)."""
+    import pyspark.sql.functions as F2
+
+    from neural_entity_matching_spark.operators.blocking import (
+        dense_id_mapping,
+    )
+
+    n = 50000
+    ids = spark.range(n).select(
+        F2.md5(F2.col("id").cast("string")).alias("_id"))
+    m = dense_id_mapping(ids, partitions=16)
+    row = m.agg(
+        F2.count("*").alias("n"),
+        F2.countDistinct("iid").alias("d"),
+        F2.min("iid").alias("lo"),
+        F2.max("iid").alias("hi"),
+    ).collect()[0]
+    assert (row["n"], row["d"], row["lo"], row["hi"]) == (n, n, 0, n - 1)
+    # rank order == id sort order (spot check the extremes)
+    first = m.orderBy("iid").limit(1).collect()[0]["_id"]
+    assert first == ids.agg(F2.min("_id")).collect()[0][0]
+    m.unpersist()
+
+
+def test_packed_equals_grouped_on_lsh_keys(spark, fixture_small):
+    """End-to-end LSH operating point: packed and grouped strategies
+    produce the identical candidate-pair COUNT and match the same stats
+    (regression for the dense-id duplicate-rank bug, which silently
+    merged pair sets and undercounted by ~0.02%)."""
+    from neural_entity_matching_spark.functions.normalize import (
+        build_signatures,
+    )
+    from neural_entity_matching_spark.operators.blocking import lsh_block
+
+    transcripts, _, _ = fixture_small
+    sigs = build_signatures(transcripts).cache()
+    g, sg = lsh_block(sigs, num_hashes=128, bands=64, char_ngram=8,
+                      seed=42, block_cap=35, strategy="grouped")
+    p, sp = lsh_block(sigs, num_hashes=128, bands=64, char_ngram=8,
+                      seed=42, block_cap=35, strategy="packed")
+    assert sp.extra["n_pairs"] == sg.extra["n_pairs"]
+    assert (sp.oversized_blocks, sp.dropped_memberships) == (
+        sg.oversized_blocks, sg.dropped_memberships)
+    for h in (g, p):
+        h.unpersist()
+    sp.extra["id_mapping"].unpersist()
+    sigs.unpersist()
+
+
 def test_salting_spreads_join_work(spark):
     """The pre-dedup salted join must not funnel the hot block through a
     single partition: max per-partition row share drops materially."""
