@@ -915,6 +915,60 @@ WHERE 100.0 * (1.0 - levenshtein(da.text, db.text)::DOUBLE
 """
 
 
+def q_pair_ingest(spark, sf_dir):
+    """Pair-format ingestion (reference Quora loader,
+    script/utilities.py:444-471): a labeled pair-per-row table is split
+    into two entity tables + a positive-match table by the LIBRARY op
+    ``sources.pair_ingest.split_pair_table``; output re-joins the match
+    table to both entity tables (the loader's EM_Data shape).
+
+    The pair file is synthesized deterministically from ``documents``:
+    same-source doc pairs at id distance <= 3, labeled by id parity —
+    exercising dedup-to-entity (docs appear in MANY pairs) and the
+    label filter."""
+    from neural_entity_matching_spark.sources.pair_ingest import (
+        split_pair_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    a = docs.select(F.col("source"), F.col("doc_id").alias("qid1"),
+                    F.col("text").alias("question1"))
+    b = docs.select(F.col("source"), F.col("doc_id").alias("qid2"),
+                    F.col("text").alias("question2"))
+    pair_file = (
+        a.join(b, "source")
+        .filter((F.col("qid1") < F.col("qid2"))
+                & (F.col("qid2") - F.col("qid1") <= 3))
+        .withColumn("is_duplicate",
+                    ((F.col("qid1") + F.col("qid2")) % 2).cast("int"))
+        .select("qid1", "qid2", "question1", "question2", "is_duplicate")
+    )
+    lhs, rhs, matches = split_pair_table(pair_file)
+    return (
+        matches
+        .join(lhs.select(F.col("id").alias("id_a"),
+                         F.length("text").alias("len_a")), "id_a")
+        .join(rhs.select(F.col("id").alias("id_b"),
+                         F.length("text").alias("len_b")), "id_b")
+        .select("id_a", "id_b", "len_a", "len_b")
+    )
+
+
+SQL_PAIR_INGEST = """
+WITH pairs AS (
+  SELECT a.doc_id AS qid1, b.doc_id AS qid2,
+         a.text AS question1, b.text AS question2,
+         CAST((a.doc_id + b.doc_id) % 2 AS INT) AS is_duplicate
+  FROM documents a JOIN documents b
+    ON a.source = b.source AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 3),
+lhs AS (SELECT qid1 AS id, min(question1) AS text FROM pairs GROUP BY qid1),
+rhs AS (SELECT qid2 AS id, min(question2) AS text FROM pairs GROUP BY qid2),
+m AS (SELECT DISTINCT qid1 AS id_a, qid2 AS id_b FROM pairs WHERE is_duplicate = 1)
+SELECT m.id_a, m.id_b, length(l.text) AS len_a, length(r.text) AS len_b
+FROM m JOIN lhs l ON l.id = m.id_a JOIN rhs r ON r.id = m.id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -930,6 +984,7 @@ QUERIES = {
     "pair_features": q_pair_features,
     "edit_distance_block": q_edit_distance_block,
     "sequential_cascade": q_sequential_cascade,
+    "pair_ingest": q_pair_ingest,
     "seeded_sample": q_seeded_sample,
     "quantile_cutoffs": q_quantile_cutoffs,
     "group_stats": q_group_stats,
@@ -960,6 +1015,7 @@ ORACLES = {
     "pair_features": SQL_PAIR_FEATURES,
     "edit_distance_block": SQL_EDIT_DISTANCE_BLOCK,
     "sequential_cascade": SQL_SEQUENTIAL_CASCADE,
+    "pair_ingest": SQL_PAIR_INGEST,
     "seeded_sample": SQL_SEEDED_SAMPLE,
     "quantile_cutoffs": SQL_QUANTILE_CUTOFFS,
     "group_stats": SQL_GROUP_STATS,
