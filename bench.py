@@ -70,26 +70,21 @@ def run_er_pipeline(spark, transcripts) -> dict:
 
     t0 = time.monotonic()
     sigs = build_signatures(transcripts).cache()
-    # scale path: dense-rank int64 ids flow end-to-end, candidate pairs
-    # shuffle PACKED as one long through the dedup exchange (the blocking
-    # stage's largest exchange — measured 21.9s -> 15.1s at 4x1-core
-    # executors); clustering runs on the encoded ids (cluster counts are
-    # id-representation-invariant). No locality sort of the pairs here:
-    # sortWithinPartitions before scoring was A/B measured a net LOSS on
-    # local[32] at both 261k and 5.0M pairs (medians 8.3s vs 7.3s
-    # end-to-end; 12.5s vs 11.1s scoring) — it only pays on
-    # bandwidth-starved 1-core executors (bench/scaling_worker.py,
-    # where it remains on).
+    # plan choice is per operating point, both measured: the GROUPED
+    # xxhash64-id plan wins here (er_pipeline 7.7s vs 13.9s median at
+    # sf0.1/local[32] — the packed plan's dense-rank mapping build is
+    # fixed-cost job latency that dominates a 5.7k-doc corpus), while the
+    # PACKED single-long plan wins the executor-scaling harness at 176k
+    # docs / 30M pair rows (bench/scaling_worker.py, BENCH/BASELINE.md).
+    # No locality sort of the pairs either: sortWithinPartitions before
+    # scoring A/B measured a net LOSS on local[32] at 261k AND 5.0M pairs
+    # — it only pays on bandwidth-starved 1-core executors.
     candidates, stats = lsh_block(
         sigs, num_hashes=128, bands=64, char_ngram=8, seed=42, block_cap=35,
-        strategy="packed",
+        decode_ids=False,
     )
     t1 = time.monotonic()
-    sigs_iid = (
-        sigs.join(F.broadcast(stats.extra["id_mapping"]),
-                  sigs.conv_id == F.col("_id"))
-        .select(F.col("iid").alias("conv_id"), "sig_text")
-    )
+    sigs_iid = sigs.select(F.xxhash64("conv_id").alias("conv_id"), "sig_text")
     scored = fast_threshold_score(
         candidates, sigs_iid, threshold=0.55, broadcast_signatures=True,
     ).cache()
@@ -101,7 +96,6 @@ def run_er_pipeline(spark, transcripts) -> dict:
     )
     n_clusters = clusters.select("cluster_id").distinct().count()
     stats.extra["id_mapping"].unpersist()
-    stats.extra["packed_pairs"].unpersist()
     t3 = time.monotonic()
     scored.unpersist()
     sigs.unpersist()
