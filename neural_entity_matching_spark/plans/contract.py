@@ -923,9 +923,14 @@ def q_pair_ingest(spark, sf_dir):
     table to both entity tables (the loader's EM_Data shape).
 
     The pair file is synthesized deterministically from ``documents``:
-    same-source doc pairs at id distance <= 3, labeled by id parity —
-    exercising dedup-to-entity (docs appear in MANY pairs) and the
-    label filter."""
+    same-source doc pairs at id distance <= 60 (doc_ids within a source
+    stride by n_sources=20, so this pairs each doc with its 3 nearest
+    same-source neighbors — thousands of rows at sf0.01), labeled
+    positive iff the id distance is exactly one stride (20) — so ~1/3
+    of pairs are positive, exercising dedup-to-entity (docs appear in
+    MANY pairs) and the label filter with non-trivial row counts on
+    both sides. (The previous parity label (qid1+qid2)%2 was always 0
+    on stride-20 ids — the round-3 'vacuous oracle' bug.)"""
     from neural_entity_matching_spark.sources.pair_ingest import (
         split_pair_table,
     )
@@ -938,9 +943,9 @@ def q_pair_ingest(spark, sf_dir):
     pair_file = (
         a.join(b, "source")
         .filter((F.col("qid1") < F.col("qid2"))
-                & (F.col("qid2") - F.col("qid1") <= 3))
+                & (F.col("qid2") - F.col("qid1") <= 60))
         .withColumn("is_duplicate",
-                    ((F.col("qid1") + F.col("qid2")) % 2).cast("int"))
+                    (F.col("qid2") - F.col("qid1") == 20).cast("int"))
         .select("qid1", "qid2", "question1", "question2", "is_duplicate")
     )
     lhs, rhs, matches = split_pair_table(pair_file)
@@ -958,9 +963,9 @@ SQL_PAIR_INGEST = """
 WITH pairs AS (
   SELECT a.doc_id AS qid1, b.doc_id AS qid2,
          a.text AS question1, b.text AS question2,
-         CAST((a.doc_id + b.doc_id) % 2 AS INT) AS is_duplicate
+         CAST(b.doc_id - a.doc_id = 20 AS INT) AS is_duplicate
   FROM documents a JOIN documents b
-    ON a.source = b.source AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 3),
+    ON a.source = b.source AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 60),
 lhs AS (SELECT qid1 AS id, min(question1) AS text FROM pairs GROUP BY qid1),
 rhs AS (SELECT qid2 AS id, min(question2) AS text FROM pairs GROUP BY qid2),
 m AS (SELECT DISTINCT qid1 AS id_a, qid2 AS id_b FROM pairs WHERE is_duplicate = 1)
