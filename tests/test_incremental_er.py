@@ -132,3 +132,100 @@ def test_incremental_er_cap_bounds_hot_block_work(spark, tmp_path):
     # hot pairs: early sub-cap evaluations kept, later generation bounded —
     # strictly fewer than the quadratic full set, strictly more than batch
     assert 0 < len(got_hot) < 40 * 39 // 2
+
+
+def test_corrupt_store_fails_loudly(spark, tmp_path):
+    """A store directory that EXISTS but cannot be read must raise —
+    never silently reset accumulated state to the current batch
+    (round-3 verdict 'What's wrong' #2)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src = str(tmp_path / "turns_src3")
+    work = tmp_path / "er_work3"
+    _write_src(spark, src, n_base=10, files=2)
+
+    # plant a garbage "store": dir exists, parquet read fails
+    sigs_dir = work / "sigs"
+    sigs_dir.mkdir(parents=True)
+    (sigs_dir / "part-00000.parquet").write_bytes(b"this is not parquet")
+
+    stream = ingest.stream_transcripts(spark, src)
+    q = incremental_er(spark, stream, str(work), str(tmp_path / "ck3"),
+                       block_cap=100, threshold=0.55, **LSH).start()
+    try:
+        with pytest.raises(StreamingQueryException):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    # the garbage store was NOT replaced by the batch's rows
+    assert (sigs_dir / "part-00000.parquet").read_bytes() == b"this is not parquet"
+
+
+def test_store_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """Per-epoch store write IO is O(touched hash buckets), not
+    O(|store|): after the corpus is ingested, a single-conversation
+    delta must rewrite only the bucket(s) holding that conv_id
+    (round-3 verdict item #5)."""
+    import time
+
+    from neural_entity_matching_spark import schema
+
+    src = str(tmp_path / "turns_src4")
+    work = str(tmp_path / "er_work4")
+    ck = str(tmp_path / "ck4")
+    K = 16
+    _write_src(spark, src, n_base=40, files=6)
+
+    stream = ingest.stream_transcripts(spark, src)
+    q = incremental_er(spark, stream, work, ck, block_cap=100,
+                       threshold=0.55, store_partitions=K, **LSH).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    part_dirs = sorted((tmp_path / "er_work4" / "sigs").glob("part=*"))
+    assert len(part_dirs) > 4, "corpus should populate many buckets"
+
+    def mtimes():
+        return {
+            d.name: max(f.stat().st_mtime_ns for f in d.glob("*.parquet"))
+            for d in (tmp_path / "er_work4" / "sigs").glob("part=*")
+        }
+
+    before = mtimes()
+    time.sleep(0.05)
+
+    # one brand-new conversation arrives as a new source file
+    import datetime
+
+    new_turns = [("delta-conv-zz", 0, "user", "completely new text", None,
+                  datetime.datetime(2023, 11, 14, 22, 13, 20))]
+    spark.createDataFrame(new_turns, schema=schema.TRANSCRIPTS) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    q = incremental_er(spark, ingest.stream_transcripts(spark, src), work,
+                       ck, block_cap=100, threshold=0.55,
+                       store_partitions=K, **LSH).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    after = mtimes()
+    expected_parts = {
+        f"part={r['p']}"
+        for r in spark.createDataFrame([("delta-conv-zz",)], ["conv_id"])
+        .select(F.pmod(F.xxhash64("conv_id"), F.lit(K)).cast("int").alias("p"))
+        .collect()
+    }
+    changed = {
+        name for name in after
+        if name not in before or after[name] > before[name]
+    }
+    assert changed == expected_parts, (changed, expected_parts)
+    # store contents stayed complete: old corpus + the delta
+    n_store = spark.read.parquet(f"{work}/sigs").count()
+    n_src = spark.read.parquet(src).select("conv_id").distinct().count()
+    assert n_store == n_src
