@@ -135,9 +135,15 @@ def main() -> None:
     matches = (
         scored.filter(F.col("is_match") == 1)
         .join(mapping.select(F.col("iid").alias("conv_id_a"),
-                             F.col("_id").alias("id_a")), "conv_id_a")
+                             F.col("_id").alias("_ida")), "conv_id_a")
         .join(mapping.select(F.col("iid").alias("conv_id_b"),
-                             F.col("_id").alias("id_b")), "conv_id_b")
+                             F.col("_id").alias("_idb")), "conv_id_b")
+        # canonical REAL-id orientation: iid order is a bijection, not the
+        # id sort order, so byte-identical output across parallelism
+        # levels requires least/greatest here
+        .select(F.least("_ida", "_idb").alias("id_a"),
+                F.greatest("_ida", "_idb").alias("id_b"),
+                "score")
     )
     n_matches = matches.count()
     stages["scoring_sec"] = round(time.monotonic() - t1, 2)

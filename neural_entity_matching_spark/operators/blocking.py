@@ -156,39 +156,43 @@ def dense_id_mapping(
     id_col: str = "_id",
     partitions: int | None = None,
 ) -> DataFrame:
-    """(\\_id, iid) with iid = the id's 0-based GLOBAL RANK — dense,
-    deterministic, distributed.
+    """(\\_id, iid) with iid a dense 0-based BIJECTION over the distinct
+    id set — deterministic, distributed, recompute-safe.
 
-    Any range partitioning + within-partition sort yields the same global
-    sequence over a distinct id set (the sampled range bounds only move
-    the partition split points, never an id's rank), so the assignment is
-    partition- and cluster-size-invariant. Shape: range-exchange of the
-    dictionary (o(corpus) rows), per-partition sort + row_number (window
-    partitioned by spark_partition_id — parallel, no single-task sort),
-    plus a broadcast join against the per-partition offsets. Dense ids
-    enable single-long pair packing (``packed_pairs_from_block_keys``)
-    and cannot collide, unlike the xxhash64 dictionary codes.
+    Bucket assignment is ``pmod(xxhash64(_id), p)`` — a pure function of
+    the id, so any recomputation (cache eviction, executor loss, retried
+    stage) reproduces the exact same bucket membership; within a bucket
+    the rank is a sort by id. This replaces the earlier sampled
+    ``repartitionByRange`` scheme, whose bounds were re-sampled per
+    evaluation: if the persisted partitioning was lost between the
+    offsets pass and the rank pass, ids moved buckets and duplicate iids
+    were silently assigned (observed at 176k ids: two docs sharing an
+    iid merged their pair sets). Determinism now comes from the hash,
+    not from pinning one evaluation. iid order is (bucket, id) order —
+    a bijection but NOT the global id sort order, which packing never
+    needed; consumers must canonicalize decoded pair orientation with
+    least/greatest on the real ids.
 
-    Returns a PERSISTED, materialized DataFrame (the two internal passes
-    must read one pinned partitioning — see the inline comment); the
-    caller owns the unpersist.
+    A post-build invariant check asserts the bijection onto [0, n)
+    (one aggregate over the o(corpus) dictionary — cheap insurance
+    against any future nondeterminism regression).
+
+    Returns a PERSISTED, materialized DataFrame; the caller owns the
+    unpersist.
     """
-    p = partitions or ids.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    parts = (
+    p = int(
+        partitions
+        or ids.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    base = (
         ids.select(F.col(id_col).alias("_id"))
-        .repartitionByRange(int(p), "_id")
-        .sortWithinPartitions("_id")
-        .withColumn("_pid", F.spark_partition_id())
-        # PIN one evaluation: the range exchange samples its bounds per
-        # execution, so the offsets pass and the rank pass below MUST read
-        # the same materialized partitioning — recomputing `parts` can
-        # move ids across _pid values between the passes, which silently
-        # assigns duplicate ranks (observed at 176k ids: two docs sharing
-        # an iid merged their pair sets)
+        .withColumn(
+            "_pid", F.pmod(F.xxhash64("_id"), F.lit(p)).cast("int")
+        )
         .persist()
     )
     counts = (
-        parts.groupBy("_pid").agg(F.count("*").alias("_c"))
+        base.groupBy("_pid").agg(F.count("*").alias("_c"))
         .orderBy("_pid")
         .collect()
     )
@@ -196,16 +200,27 @@ def dense_id_mapping(
     for r in counts:
         offsets.append((r["_pid"], acc))
         acc += r["_c"]
-    off_df = parts.sparkSession.createDataFrame(offsets, ["_pid", "_off"])
+    off_df = base.sparkSession.createDataFrame(offsets, ["_pid", "_off"])
     w = Window.partitionBy("_pid").orderBy("_id")
     mapping = (
-        parts.join(F.broadcast(off_df), "_pid")
+        base.join(F.broadcast(off_df), "_pid")
         .withColumn("iid", F.row_number().over(w) - 1 + F.col("_off"))
         .select("_id", "iid")
         .persist()
     )
-    mapping.count()
-    parts.unpersist()
+    chk = mapping.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("iid").alias("d"),
+        F.max("iid").alias("hi"),
+    ).collect()[0]
+    if not (chk["n"] == chk["d"] == (chk["hi"] + 1 if chk["n"] else 0)):
+        mapping.unpersist()
+        base.unpersist()
+        raise AssertionError(
+            f"dense_id_mapping lost bijectivity: n={chk['n']} "
+            f"distinct={chk['d']} max={chk['hi']}"
+        )
+    base.unpersist()
     return mapping
 
 
@@ -235,7 +250,13 @@ def packed_pairs_from_block_keys(
     Requires < 2^31 distinct ids (packing headroom); raises otherwise —
     callers beyond that operate on the xxhash64 path. Downstream payload
     joins must map real ids through ``stats.extra['id_mapping']`` (dense
-    codes are not a hash of the id).
+    codes are not a hash of the id), and decoded pair orientation must be
+    canonicalized with least/greatest on the REAL ids (iid order is a
+    bijection, not the id sort order).
+
+    ``stats.extra['packed_pairs']`` holds the persisted packed handle in
+    both materialize branches; ``n_pairs`` exists only when
+    ``materialize=True`` (counting is materialization).
     """
     raw = keys.persist()
     # dense_id_mapping returns the mapping already persisted + materialized
@@ -288,13 +309,16 @@ def packed_pairs_from_block_keys(
         blocks.select(F.explode(F.expr(pair_expr)).alias("pk"))
         .dropDuplicates(["pk"])
     )
+    packed = packed.persist()
+    stats.extra["packed_pairs"] = packed
     if materialize:
-        packed = packed.persist()
         stats.extra["n_pairs"] = packed.count()
         for df in release:
             df.unpersist()
-        stats.extra["packed_pairs"] = packed
     else:
+        # n_pairs intentionally absent: counting IS materialization.
+        # packed is persisted (lazily) in both branches so the handle in
+        # extra['packed_pairs'] is always safe to reuse / unpersist.
         stats.extra["_persisted"] = release + [packed]
     pairs = packed.select(
         F.floor(F.col("pk") / F.lit(_PACK)).cast("long").alias("conv_id_a"),
@@ -587,18 +611,22 @@ def lsh_block(
     """Full MinHash-LSH blocker: signatures -> unique candidate pairs.
 
     ``strategy``: 'grouped' (single exchange, default), 'join' (self-join
-    form), or 'salted' (skew-spread join for very large caps).
+    form), 'salted' (skew-spread join for very large caps), or 'packed'
+    (dense-rank ids packed into one int64 through the dedup exchange —
+    the cheapest exchange shape; see packed_pairs_from_block_keys).
 
     ``signatures_rhs``: two-table mode (reference ltable/rtable) — band
     keys are computed for both sides with the SAME seeded hash family and
     only cross-side pairs are emitted (strategy is ignored; the two-table
     join is its own plan).
 
-    ``decode_ids=False`` (grouped strategy): candidate pairs keep the
-    int64 dictionary codes; downstream payload joins should key on
-    ``xxhash64(conv_id)`` and decode only final matches via
-    stats.extra['id_mapping'] — the right shape at full scale, where
-    decoding every candidate pair is pure wasted shuffle width."""
+    ``decode_ids=False`` (grouped/packed strategies): candidate pairs
+    keep the compact codes (xxhash64 for grouped, dense ranks for
+    packed); downstream payload joins key on the code and decode only
+    final matches via stats.extra['id_mapping'] — the right shape at
+    full scale, where decoding every candidate pair is pure wasted
+    shuffle width. With ``decode_ids=True`` (default) packed pairs are
+    decoded lazily through the mapping, canonicalized least/greatest."""
     keys = lsh_band_keys(signatures, num_hashes, bands, char_ngram, seed)
     if signatures_rhs is not None:
         keys_rhs = lsh_band_keys(signatures_rhs, num_hashes, bands,
@@ -610,8 +638,21 @@ def lsh_block(
             keys, block_cap=block_cap, materialize=materialize,
             decode_ids=decode_ids)
     if strategy == "packed":
-        return packed_pairs_from_block_keys(
+        pairs, stats = packed_pairs_from_block_keys(
             keys, block_cap=block_cap, materialize=materialize)
+        if decode_ids:
+            # lazy decode at the boundary: real ids, canonical order
+            m = F.broadcast(stats.extra["id_mapping"])
+            pairs = (
+                pairs
+                .join(m.select(F.col("iid").alias("conv_id_a"),
+                               F.col("_id").alias("_ida")), "conv_id_a")
+                .join(m.select(F.col("iid").alias("conv_id_b"),
+                               F.col("_id").alias("_idb")), "conv_id_b")
+                .select(F.least("_ida", "_idb").alias("conv_id_a"),
+                        F.greatest("_ida", "_idb").alias("conv_id_b"))
+            )
+        return pairs, stats
     if strategy == "salted":
         return salted_pairs_from_block_keys(
             keys, block_cap=block_cap, materialize=materialize)
@@ -690,24 +731,46 @@ def edit_distance_filter(
     cutoff_ratio: float = 60.0,
     id_col: str = "conv_id",
     text_col: str = "sig_text",
+    metric: str = "lev_ratio",
 ) -> DataFrame:
     """Second stage of the reference's sequential cascade: keep candidate
     pairs whose edit-similarity ratio >= cutoff (calculate_edit_block_bool,
     reference script/utilities.py:492-502; grid cutoffs {50,60,70,80}).
 
     Cheap blocker first, expensive distance on survivors — the reference's
-    one manual optimization (model_magellan_ml.py:189-191) — and here the
-    distance is Spark's JVM ``levenshtein``, fully codegen'd.
+    one manual optimization (model_magellan_ml.py:189-191).
+
+    ``metric`` — NORMALIZATION FIDELITY: the reference thresholds
+    fuzz.ratio, the INDEL ratio ``100*(1 - indel/(len_a+len_b))``
+    (substitutions cost 2), while the default ``'lev_ratio'`` here is
+    ``100*(1 - levenshtein/max_len)`` on Spark's JVM codegen'd
+    levenshtein. The two agree on pure insert/delete edits but diverge
+    on substitutions (e.g. 'ab' vs 'ba': lev_ratio 0, indel 50), so the
+    SAME cutoff values select different survivor sets. Pass
+    ``metric='indel'`` for bit-exact reference parity — it routes
+    through the Arrow-batched fuzz_ratio_udf (rapidfuzz fast path when
+    available), which is the slow path: keep 'lev_ratio' unless
+    reference-identical survivor sets are required.
     """
     sig = signatures.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")
     )
+    if metric == "indel":
+        from neural_entity_matching_spark.functions.similarity import (
+            fuzz_ratio_udf,
+        )
+
+        ratio = fuzz_ratio_udf(F.col("_txt_a"), F.col("_txt_b"))
+    elif metric == "lev_ratio":
+        ratio = lev_ratio(F.col("_txt_a"), F.col("_txt_b"))
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
     return (
         candidates
         .join(sig.withColumnRenamed("_id", "conv_id_a")
                  .withColumnRenamed("_txt", "_txt_a"), "conv_id_a")
         .join(sig.withColumnRenamed("_id", "conv_id_b")
                  .withColumnRenamed("_txt", "_txt_b"), "conv_id_b")
-        .filter(lev_ratio(F.col("_txt_a"), F.col("_txt_b")) >= cutoff_ratio)
+        .filter(ratio >= cutoff_ratio)
         .select("conv_id_a", "conv_id_b")
     )

@@ -879,7 +879,14 @@ def q_sequential_cascade(spark, sf_dir):
     the full levenshtein for every candidate near the boundary. The ratio
     is a per-row arithmetic double (unrounded comparison, bit-identical
     across engines); only ids are emitted, as the reference's boolean
-    predicate does."""
+    predicate does.
+
+    Normalization note: this query (and its oracle) use lev_ratio
+    (levenshtein/max_len); the reference's calculate_edit_block_bool
+    thresholds the INDEL ratio (fuzz.ratio, substitutions cost 2), so the
+    same cutoff values select different survivor sets than the reference.
+    ``edit_distance_filter(metric='indel')`` provides the bit-exact
+    reference formula — see its docstring."""
     from neural_entity_matching_spark.operators.blocking import (
         edit_distance_filter,
         token_overlap_block,

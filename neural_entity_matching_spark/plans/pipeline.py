@@ -66,9 +66,10 @@ class PipelineConfig:
     # scoring axis — 'threshold' (deterministic linear) or a trained
     # matcher 'logistic' | 'gbt' | 'random_forest' (reference M1, trained
     # on the post-blocking labeled candidates; requires labeled_pairs).
-    # NOTE: a trained scorer's output depends on the label table — callers
-    # must fold the label-set identity into input_fingerprint or stale
-    # scored snapshots will resume across label changes.
+    # A trained scorer's output depends on the label table; run_pipeline
+    # digests labeled_pairs and folds it into the scored-stage
+    # fingerprint, so a changed label set re-scores instead of resuming
+    # a stale snapshot (enforced in code, not a caller contract).
     scorer: str = "threshold"
     ml_seed: int = 0
     threshold: float = 0.55
@@ -103,6 +104,18 @@ class PipelineReport:
     stages: dict = field(default_factory=dict)
     # stage-name -> output DataFrame (in-process handles for grid/eval)
     outputs: dict = field(default_factory=dict)
+
+
+def _labels_digest(labeled_pairs: DataFrame) -> str:
+    """Order-independent content digest of the label table (bit_xor of
+    row hashes + count). One aggregate job over the o(corpus) label set —
+    cheap insurance that a trained scorer never resumes a snapshot built
+    from different labels."""
+    row = labeled_pairs.agg(
+        F.bit_xor(F.xxhash64("conv_id_a", "conv_id_b", "y")).alias("h"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    return f"+labels:{row['n']}:{row['h']}"
 
 
 def _lineage_rows(spark, run_id: str, stage: str, df: DataFrame,
@@ -262,8 +275,17 @@ def run_pipeline(
             broadcast_signatures=cfg.broadcast_signatures,
         )
 
+    # fold the label-set identity into the scored fingerprint for trained
+    # scorers: same config + same candidates + DIFFERENT labels must
+    # retrain, never resume the stale snapshot
+    labels_fp = ""
+    if cfg.scorer in ("logistic", "gbt", "random_forest"):
+        if labeled_pairs is None:
+            raise ValueError(f"scorer={cfg.scorer!r} needs labeled_pairs")
+        labels_fp = _labels_digest(labeled_pairs)
+
     scored_res = stage(
-        "scored", cand_res.snapshot_id, compute_scored,
+        "scored", cand_res.snapshot_id + labels_fp, compute_scored,
         repartition_by=["conv_id_a"],
     )
     for h in feat_handle:

@@ -165,6 +165,31 @@ def test_fuzz_ratio_indel_parity(spark):
     assert abs(val - 100.0 * (1 - 5 / 13)) < 1e-4
 
 
+def test_edit_distance_filter_indel_metric(spark):
+    """edit_distance_filter(metric='indel') applies the reference's
+    fuzz.ratio normalization (substitutions cost 2) — 'ab' vs 'ba' is 0
+    under lev_ratio but 50 under indel, so the two metrics select
+    different survivor sets at the same cutoff (ADVICE fidelity item)."""
+    from neural_entity_matching_spark.operators.blocking import (
+        edit_distance_filter,
+    )
+
+    sigs = spark.createDataFrame(
+        [(1, "ab"), (2, "ba"), (3, "zzzz")], ["conv_id", "sig_text"])
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3)], ["conv_id_a", "conv_id_b"])
+    lev = {(r["conv_id_a"], r["conv_id_b"]) for r in edit_distance_filter(
+        cands, sigs, cutoff_ratio=40.0).collect()}
+    indel = {(r["conv_id_a"], r["conv_id_b"]) for r in edit_distance_filter(
+        cands, sigs, cutoff_ratio=40.0, metric="indel").collect()}
+    assert lev == set()            # lev_ratio('ab','ba') = 0
+    assert indel == {(1, 2)}       # indel ratio('ab','ba') = 50
+    import pytest
+
+    with pytest.raises(ValueError):
+        edit_distance_filter(cands, sigs, metric="nope")
+
+
 def test_jaro_winkler_known_values(spark):
     # classic textbook values
     assert abs(_jaro_winkler("MARTHA", "MARHTA") - 0.9611) < 1e-3

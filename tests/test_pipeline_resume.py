@@ -39,6 +39,47 @@ def test_resume_identical_clusters(spark, fixture_small, tmp_path):
     assert report2.stages["scored"]["resumed"]
     assert not report2.stages["clusters"]["resumed"]
 
+
+def test_trained_scorer_rescores_when_labels_change(spark, fixture_small,
+                                                    tmp_path):
+    """Scored-stage checkpoint key folds in the label-set digest for
+    trained scorers: same config + same candidates + CHANGED labels must
+    retrain, never resume the stale scored snapshot."""
+    transcripts, labeled, _ = fixture_small
+    ckpt = str(tmp_path / "ckpt_ml")
+    cfg = PipelineConfig(scorer="logistic")
+
+    _, rep1 = run_pipeline(
+        spark, transcripts, ckpt, cfg, input_fingerprint="fx-small",
+        run_id="m1", labeled_pairs=labeled,
+    )
+    assert not rep1.stages["scored"]["resumed"]
+
+    # identical rerun: everything resumes (labels digest is stable)
+    _, rep2 = run_pipeline(
+        spark, transcripts, ckpt, cfg, input_fingerprint="fx-small",
+        run_id="m2", labeled_pairs=labeled,
+    )
+    assert rep2.stages["scored"]["resumed"]
+    assert rep2.stages["clusters"]["resumed"]
+
+    # flip one label: candidates still resume, scored must recompute
+    one = labeled.orderBy("conv_id_a", "conv_id_b").limit(1).collect()[0]
+    flipped = labeled.withColumn(
+        "y",
+        F.when(
+            (F.col("conv_id_a") == one["conv_id_a"])
+            & (F.col("conv_id_b") == one["conv_id_b"]),
+            1 - F.col("y"),
+        ).otherwise(F.col("y")),
+    )
+    _, rep3 = run_pipeline(
+        spark, transcripts, ckpt, cfg, input_fingerprint="fx-small",
+        run_id="m3", labeled_pairs=flipped,
+    )
+    assert rep3.stages["candidates"]["resumed"]
+    assert not rep3.stages["scored"]["resumed"]
+
     # config change invalidates downstream stages
     clusters3, report3 = run_pipeline(
         spark, transcripts, ckpt, PipelineConfig(threshold=0.6),
