@@ -188,12 +188,29 @@ terms.
   there — a silent 1-executor run);
 * shuffle/spill dirs on tmpfs: /tmp here is a throttled virtual disk
   whose IOPS stalls serialize whole stages at random (a real cluster has
-  local NVMe).
+  local NVMe);
+* round 4 — minhash permutation family switched to one odd-multiplier
+  modular bijection per seed over the pre-mixed (splitmix64) shingle
+  hashes: 1 multiply + segmented min instead of 7 vector ops per seed
+  (kernel 6.3x, UDF stage ~3x; Jaccard-estimation error unchanged at
+  the theoretical SE — 0.029 vs 0.032 mean abs at k=128);
+* round 4 — packed pair generation groups the (iid, block_key)
+  membership set ONCE (arrays + sizes from a single exchange); the old
+  sizes-agg -> eligibility-join -> collect_list shape exchanged the
+  same ~11M-row set twice (partial count-agg cannot reduce it at ~1.3
+  members/block). Mega-block caveat documented on the operator;
+  strategy='grouped' keeps the prune-before-collect shape;
+* round 4 — dense-rank id assignment is a deterministic hash-bucket
+  bijection (pure function of the id; survives cache loss / stage
+  retry without re-sampling range bounds), and decoded match
+  orientation is canonicalized least/greatest, which is what makes the
+  byte-identical-output claim independent of executor count.
 
 ## Iceberg status (north rule: resume from Iceberg snapshot checkpoints)
 
 No iceberg-spark-runtime jar exists anywhere on this offline image
-(searched / and the pyspark jars dir; no network to fetch one), so
+(re-searched round 4: filesystem-wide find, /opt/spark/jars, pip
+download pyiceberg — all empty/offline), so
 ``sources/io.py`` keeps the import-gated Iceberg branch and implements the
 same snapshot contract over parquet + atomic ``_SNAPSHOT.json`` commits —
 fingerprint-keyed snapshot dirs, crash-safe invalidate-before-overwrite,

@@ -104,6 +104,7 @@ def main() -> None:
 
     t1 = time.monotonic()
     packed = bstats.extra["packed_pairs"]
+    stages["score_partitions"] = packed.rdd.getNumPartitions()
     if os.environ.get("NEM_CLUSTER_BY_A", "1") == "1":
         # run-length locality for the scoring probes: consecutive rows
         # share conv_id_a (and nearly share conv_id_b — the packed long

@@ -60,29 +60,24 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(_splitmix_mix(win @ powers))
 
 
-def _mix_inplace(x: np.ndarray, scratch: np.ndarray) -> None:
-    """splitmix64 finalizer applied in place (bit-identical to
-    ``_splitmix_mix``) with a caller-provided scratch buffer — zero heap
-    allocation per pass, so the working set is exactly two chunk-sized
-    arrays that stay cache-resident."""
-    np.right_shift(x, np.uint64(30), out=scratch)
-    x ^= scratch
-    x *= np.uint64(0xBF58476D1CE4E5B9)
-    np.right_shift(x, np.uint64(27), out=scratch)
-    x ^= scratch
-    x *= np.uint64(0x94D049BB133111EB)
-    np.right_shift(x, np.uint64(31), out=scratch)
-    x ^= scratch
-
-
 def _minhash_matrix(flat: np.ndarray, offsets: np.ndarray,
                     seeds: np.ndarray, chunk_shingles: int = 1 << 16) -> np.ndarray:
-    """(n_docs, k) per-doc minima of seed-mixed shingle hashes.
+    """(n_docs, k) per-doc minima under k seeded permutations of the
+    shingle-hash space.
 
-    Two levels of memory-traffic discipline (both bit-identical to the
-    naive (S, k) matrix form, which is DRAM-bandwidth-bound and
-    *anti-scales* with executor threads — measured 98s -> 4s on 3.3M
-    shingles x 128 seeds):
+    Permutation family: each seed is forced odd and applied as one
+    modular multiplication over Z/2^64 — an exact bijection, so min-of-
+    permutation semantics hold, and the minimum is decided by the
+    product's high bits, which are well mixed because the shingle hashes
+    are already splitmix64-finalized uniform values. Replacing the
+    earlier per-seed xor+splitmix pipeline (7 vector ops) with one
+    multiply + reduceat measured 6.3x on the kernel with Jaccard-
+    estimation error unchanged (mean abs err 0.029 vs 0.032 at k=128,
+    both at the theoretical SE — see round-4 notes).
+
+    Two levels of memory-traffic discipline (the naive (S, k) matrix
+    form is DRAM-bandwidth-bound and *anti-scales* with executor
+    threads — measured 98s -> 4s on 3.3M shingles x 128 seeds):
 
     1. loop over the k seeds with (chunk,)-sized temporaries, never an
        (S, k) matrix;
@@ -93,6 +88,7 @@ def _minhash_matrix(flat: np.ndarray, offsets: np.ndarray,
        un-tiled form saturates the socket's DRAM bandwidth and stops
        scaling with cores; the tiled form scales like compute.
     """
+    mult = seeds | np.uint64(1)
     k = len(seeds)
     n = len(offsets)
     mins = np.empty((n, k), dtype=np.uint64)
@@ -102,7 +98,6 @@ def _minhash_matrix(flat: np.ndarray, offsets: np.ndarray,
     doc_lens = np.diff(bounds)
     cap = max(chunk_shingles, int(doc_lens.max()))
     buf = np.empty(cap, dtype=np.uint64)
-    scratch = np.empty(cap, dtype=np.uint64)
     i = 0
     while i < n:
         j = i + 1
@@ -111,10 +106,8 @@ def _minhash_matrix(flat: np.ndarray, offsets: np.ndarray,
         sl = flat[bounds[i]:bounds[j]]
         off = offsets[i:j] - bounds[i]
         b = buf[: len(sl)]
-        s = scratch[: len(sl)]
         for sd in range(k):
-            np.bitwise_xor(sl, seeds[sd], out=b)
-            _mix_inplace(b, s)
+            np.multiply(sl, mult[sd], out=b)
             mins[i:j, sd] = np.minimum.reduceat(b, off)
         i = j
     return mins

@@ -221,6 +221,8 @@ def dense_id_mapping(
             f"distinct={chk['d']} max={chk['hi']}"
         )
     base.unpersist()
+    # stash the (already-computed) cardinality so callers skip a count job
+    mapping.nem_n = chk["n"]
     return mapping
 
 
@@ -232,6 +234,7 @@ def packed_pairs_from_block_keys(
     block_cap: int = 200,
     id_col: str = "conv_id",
     materialize: bool = True,
+    ids: DataFrame | None = None,
 ) -> tuple[DataFrame, BlockingStats]:
     """Grouped pair generation over DENSE ids with pairs packed into ONE
     int64 (``iid_a * 2^32 + iid_b``) until after dedup.
@@ -257,16 +260,30 @@ def packed_pairs_from_block_keys(
     ``stats.extra['packed_pairs']`` holds the persisted packed handle in
     both materialize branches; ``n_pairs`` exists only when
     ``materialize=True`` (counting is materialization).
+
+    ``ids``: optional pre-distinct entity-id set (one row per entity,
+    e.g. the signature table's id column). Supplying it removes a
+    dropDuplicates exchange over the ~bands-per-doc membership set AND
+    lets ``keys`` stream straight into the grouping (no persist — it is
+    consumed exactly once), cutting the blocking stage's fixed job count
+    — the costs that do NOT shrink with executors and therefore tax the
+    N->4N scaling ratio hardest.
     """
-    raw = keys.persist()
+    if ids is not None:
+        raw = keys
+        id_src = ids.select(F.col(id_col).alias("_id"))
+        release_raw: list[DataFrame] = []
+    else:
+        raw = keys.persist()
+        id_src = raw.select(F.col(id_col).alias("_id")).dropDuplicates()
+        release_raw = [raw]
     # dense_id_mapping returns the mapping already persisted + materialized
-    mapping = dense_id_mapping(
-        raw.select(F.col(id_col).alias("_id")).dropDuplicates()
-    )
-    n_ids = mapping.count()
+    mapping = dense_id_mapping(id_src)
+    n_ids = getattr(mapping, "nem_n", None) or mapping.count()
     if n_ids >= (1 << 31):
         mapping.unpersist()
-        raw.unpersist()
+        for df in release_raw:
+            df.unpersist()
         raise ValueError(
             f"{n_ids} distinct ids exceed the int32 packing range; "
             "use grouped_pairs_from_block_keys instead"
@@ -275,9 +292,26 @@ def packed_pairs_from_block_keys(
         raw.join(F.broadcast(mapping), raw[id_col] == mapping["_id"])
         .select("iid", "block_key")
     )
-    sizes = narrow.groupBy("block_key").agg(F.count("*").alias("bs")).persist()
-    release = [raw, sizes]
-    stats_row = sizes.agg(
+    # SINGLE-PASS group: one exchange of the (iid, block_key) membership
+    # set builds both the member arrays and the size stats. The earlier
+    # two-pass shape (sizes agg -> eligibility join -> collect_list)
+    # exchanged the same ~64-bands-per-doc membership set TWICE (partial
+    # count-agg barely reduces it at ~1.3 members/block) plus a join —
+    # the blocking stage's dedup/expand exchanges are its scaling
+    # residual, so one full exchange is removed here. Trade-off: member
+    # lists buffer BEFORE the cap filter, bounded by the largest
+    # physical block at 8 bytes/member (a degenerate 10M-member block
+    # buffers 80 MB in one task); for adversarial distributions use
+    # strategy='grouped', whose eligibility join prunes before any list
+    # materializes.
+    grouped = (
+        narrow.groupBy("block_key")
+        .agg(F.sort_array(F.collect_list("iid")).alias("ids"))
+        .select("ids", F.size("ids").alias("bs"))
+        .persist()
+    )
+    release = release_raw + [grouped]
+    stats_row = grouped.agg(
         F.count("*").alias("total"),
         F.sum(F.when(F.col("bs") > block_cap, 1).otherwise(0)).alias("over"),
         F.sum(
@@ -291,14 +325,7 @@ def packed_pairs_from_block_keys(
         capped_at=block_cap,
         extra={"strategy": "packed", "id_mapping": mapping},
     )
-    eligible = sizes.filter(
-        (F.col("bs") >= 2) & (F.col("bs") <= block_cap)
-    ).select("block_key")
-    blocks = (
-        narrow.join(eligible, "block_key")
-        .groupBy("block_key")
-        .agg(F.sort_array(F.collect_list("iid")).alias("ids"))
-    )
+    blocks = grouped.filter((F.col("bs") >= 2) & (F.col("bs") <= block_cap))
     # ids sorted ascending -> iid_a < iid_b holds inside the packed long
     pair_expr = (
         "flatten(transform(sequence(1, size(ids) - 1), i -> "
@@ -638,8 +665,12 @@ def lsh_block(
             keys, block_cap=block_cap, materialize=materialize,
             decode_ids=decode_ids)
     if strategy == "packed":
+        # signatures are one-row-per-entity: pass their id column as the
+        # pre-distinct id set (skips a dropDuplicates exchange over the
+        # 64-bands-per-doc membership rows and the keys persist)
         pairs, stats = packed_pairs_from_block_keys(
-            keys, block_cap=block_cap, materialize=materialize)
+            keys, block_cap=block_cap, materialize=materialize,
+            ids=signatures.select(F.col("conv_id")))
         if decode_ids:
             # lazy decode at the boundary: real ids, canonical order
             m = F.broadcast(stats.extra["id_mapping"])
