@@ -204,7 +204,15 @@ terms.
   bijection (pure function of the id; survives cache loss / stage
   retry without re-sampling range bounds), and decoded match
   orientation is canonicalized least/greatest, which is what makes the
-  byte-identical-output claim independent of executor count.
+  byte-identical-output claim independent of executor count;
+* round 4 — the scoring broadcast relation is BUILT IN IID ORDER
+  (one cheap sort of the o(corpus) payload before broadcast): dense
+  long keys store payload rows in insertion order, pk-sorted probes
+  ascend iid, so payload fetches become prefetchable streaming instead
+  of random DRAM reads. Phase-matched A/B pairs at n=80k: 4x1-core
+  scoring -13%/-16%, 1x1-core UNCHANGED — an asymmetric win (the
+  shared DRAM bus binds only under 4 concurrent probe streams), i.e.
+  it moves the N->4N ratio itself, not just both absolute walls.
 
 ## Iceberg status (north rule: resume from Iceberg snapshot checkpoints)
 

@@ -124,6 +124,17 @@ def main() -> None:
                   sigs.conv_id == F.col("_id"))
         .select(F.col("iid").alias("conv_id"), "sig_text")
     )
+    if os.environ.get("NEM_SORT_BROADCAST", "1") == "1":
+        # build the broadcast relation in iid order: with dense long keys
+        # the map stores payload rows in insertion order, and pk-sorted
+        # probes ascend iid — sequential payload layout turns the random
+        # per-probe DRAM fetch into prefetchable streaming. Measured
+        # ASYMMETRIC (phase-matched A/B pairs, n=80k): 4x1-core scoring
+        # 243.8->213.0 and 283.6->237.2 (-13/-16%), 1x1-core unchanged
+        # (693.9 vs 694.8-731.5 same-phase) — the shared DRAM bus only
+        # binds when 4 cores probe at once, so this is one of the few
+        # levers that moves the N->4N ratio rather than both levels.
+        sigs_iid = sigs_iid.coalesce(1).sortWithinPartitions("conv_id")
     scored = fast_threshold_score(
         candidates, sigs_iid, threshold=0.55, broadcast_signatures=True
     ).persist()
