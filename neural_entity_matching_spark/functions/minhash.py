@@ -32,6 +32,16 @@ from pyspark.sql.types import ArrayType, LongType
 _FNV = np.uint64(1099511628211)
 _POLY_BASE = np.uint64(1111111111111111111)  # odd 64-bit multiplier
 
+# Version tag of the minhash permutation family. Band keys and
+# fingerprints produced under different families are INCOMPATIBLE:
+# any persisted artifact derived from them (pipeline candidate
+# snapshots, incremental-ER sigs/keys stores) must carry this tag and
+# refuse/rebuild on mismatch instead of silently mixing key spaces.
+# History: v1 = per-seed xor+splitmix pipeline (rounds 1-3);
+# v2 = odd-multiplier modular bijection over pre-mixed shingle hashes
+# (round 4, kernel 6.3x).
+HASH_FAMILY = "minhash-oddmul-v2"
+
 
 def _splitmix_mix(x: np.ndarray) -> np.ndarray:
     """Deterministic 64-bit mixer (splitmix64 finalizer), vectorized."""

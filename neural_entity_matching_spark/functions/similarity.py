@@ -160,16 +160,28 @@ def fuzz_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     (reference script/utilities.py:19-20 uses fuzzywuzzy's fuzz.ratio,
     an indel-distance ratio, NOT plain Levenshtein — SURVEY.md §7 risk 1).
 
-    PARITY-ONLY: the O(n*m) pure-Python LCS row loop exists to pin the
-    reference's numeric scale in tests (test_functions_unit). Production
+    Dispatch: if ``rapidfuzz`` is importable on the workers its C
+    ``fuzz.ratio`` (the same indel formula, score_cutoff-free) is used
+    per batch (~100x); otherwise this falls back to the O(n*m)
+    pure-Python LCS row loop, which exists to pin the reference's
+    numeric scale in tests (test_functions_unit). rapidfuzz is NOT in
+    this sandbox image, so the fallback is what runs here — production
     scoring uses the JVM banded-levenshtein cascade
-    (operators/scoring.fast_threshold_score); do not put this UDF on a
-    candidate-volume path — with rapidfuzz installed, swap in
-    ``rapidfuzz.fuzz.ratio`` batch calls instead."""
+    (operators/scoring.fast_threshold_score); without rapidfuzz, do not
+    put this UDF on a candidate-volume path."""
     av = a.fillna("").to_numpy()
     bv = b.fillna("").to_numpy()
-    out = np.empty(len(av), dtype=np.float64)
-    for i, (x, y) in enumerate(zip(av, bv)):
-        tot = len(x) + len(y)
-        out[i] = 100.0 if tot == 0 else 100.0 * (1.0 - _indel_distance(x, y) / tot)
+    try:  # optional C fast path — not installable in this sandbox
+        from rapidfuzz import fuzz
+
+        out = np.fromiter(
+            (fuzz.ratio(x, y) for x, y in zip(av, bv)),
+            dtype=np.float64, count=len(av),
+        )
+    except ImportError:
+        out = np.empty(len(av), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(av, bv)):
+            tot = len(x) + len(y)
+            out[i] = (100.0 if tot == 0
+                      else 100.0 * (1.0 - _indel_distance(x, y) / tot))
     return pd.Series(np.round(out, 6))

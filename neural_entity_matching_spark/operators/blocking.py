@@ -173,9 +173,12 @@ def dense_id_mapping(
     needed; consumers must canonicalize decoded pair orientation with
     least/greatest on the real ids.
 
-    A post-build invariant check asserts the bijection onto [0, n)
-    (one aggregate over the o(corpus) dictionary — cheap insurance
-    against any future nondeterminism regression).
+    A post-build invariant check asserts the bijection onto [0, n) AND
+    that the input ids were distinct (one aggregate over the o(corpus)
+    dictionary — cheap insurance against a nondeterminism regression on
+    one side and a caller passing a non-deduplicated id column on the
+    other; callers relying on "signatures are one row per entity" get
+    that assumption enforced here rather than as silent join fan-out).
 
     Returns a PERSISTED, materialized DataFrame; the caller owns the
     unpersist.
@@ -211,14 +214,22 @@ def dense_id_mapping(
     chk = mapping.agg(
         F.count("*").alias("n"),
         F.countDistinct("iid").alias("d"),
+        F.countDistinct("_id").alias("du"),
         F.max("iid").alias("hi"),
     ).collect()[0]
-    if not (chk["n"] == chk["d"] == (chk["hi"] + 1 if chk["n"] else 0)):
+    if not (chk["n"] == chk["d"] == chk["du"]
+            == (chk["hi"] + 1 if chk["n"] else 0)):
         mapping.unpersist()
         base.unpersist()
+        # du < n means the CALLER passed duplicate ids (each would get
+        # several iids and every downstream pair join would fan out);
+        # d < n would be a determinism regression in the rank pass
         raise AssertionError(
             f"dense_id_mapping lost bijectivity: n={chk['n']} "
-            f"distinct={chk['d']} max={chk['hi']}"
+            f"distinct_iid={chk['d']} distinct_id={chk['du']} "
+            f"max={chk['hi']}"
+            + (" — input ids contain duplicates"
+               if chk["du"] < chk["n"] else "")
         )
     base.unpersist()
     # stash the (already-computed) cardinality so callers skip a count job
@@ -779,9 +790,13 @@ def edit_distance_filter(
     on substitutions (e.g. 'ab' vs 'ba': lev_ratio 0, indel 50), so the
     SAME cutoff values select different survivor sets. Pass
     ``metric='indel'`` for bit-exact reference parity — it routes
-    through the Arrow-batched fuzz_ratio_udf (rapidfuzz fast path when
-    available), which is the slow path: keep 'lev_ratio' unless
-    reference-identical survivor sets are required.
+    through the Arrow-batched fuzz_ratio_udf, which dispatches to
+    rapidfuzz's C ``fuzz.ratio`` when that package is importable on the
+    workers and otherwise runs a pure-Python O(n*m) LCS loop (the only
+    option in this sandbox image — rapidfuzz is not installed here).
+    Either way 'indel' is the slow path relative to the JVM
+    'lev_ratio': keep 'lev_ratio' unless reference-identical survivor
+    sets are required.
     """
     sig = signatures.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")

@@ -151,6 +151,7 @@ def _star_components(
         return row["n"], row["h"]
 
     prev = digest(e)
+    converged = prev[0] == 0  # no edges: already a (trivial) forest
     for _ in range(max_iterations):
         # ---- large-star ----
         sym = e.select("a", "b").unionByName(
@@ -181,8 +182,20 @@ def _star_components(
         )
         cur = digest(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # labels derived from a still-moving edge set are NOT component
+        # labels (a vertex can carry several cluster_id rows or a
+        # non-minimum root) — fail loudly rather than return them.
+        # O(log^2 n) rounds suffice in theory; the default budget is
+        # generous, so hitting this means pathological input or a bug.
+        raise RuntimeError(
+            "connected_components(algorithm='star') did not converge "
+            f"within max_iterations={max_iterations} rounds (edge digest "
+            "still changing); raise max_iterations"
+        )
 
     # converged: every edge is (root=min, member); roots map to themselves
     labels = (

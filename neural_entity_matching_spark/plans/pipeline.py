@@ -19,6 +19,7 @@ from dataclasses import asdict, dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from neural_entity_matching_spark.functions.minhash import HASH_FAMILY
 from neural_entity_matching_spark.functions.normalize import build_signatures
 from neural_entity_matching_spark.operators.blocking import lsh_block
 from neural_entity_matching_spark.operators.clustering import connected_components
@@ -87,7 +88,10 @@ class PipelineConfig:
     # match decisions, exact scores on matches, upper-bounded scores on
     # non-matches, ~order-of-magnitude less edit-distance work
     exact_scores: bool = False
-    version: str = "1"
+    # bumped whenever ANY persisted stage output changes meaning for the
+    # same config fields ("2": round-4 minhash family change — old
+    # candidate snapshots are key-space-incompatible and must not resume)
+    version: str = "2"
 
     def fingerprint(self, stage: str, upstream: str) -> str:
         d = asdict(self)
@@ -95,7 +99,11 @@ class PipelineConfig:
         sel = sorted(d.items()) if fields is None else [
             (k, d[k]) for k in sorted(fields)
         ]
-        return fingerprint(stage, upstream, sel, self.version)
+        # the minhash family tag is folded into EVERY stage fingerprint
+        # (not just 'candidates'): a family change invalidates candidates
+        # and everything downstream of them, and version bumps alone are
+        # easy to forget when the family moves again
+        return fingerprint(stage, upstream, sel, self.version, HASH_FAMILY)
 
 
 @dataclass

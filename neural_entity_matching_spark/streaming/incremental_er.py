@@ -57,9 +57,12 @@ current batch — round-3 verdict item #4).
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from neural_entity_matching_spark.functions.minhash import HASH_FAMILY
 from neural_entity_matching_spark.functions.normalize import build_signatures
 from neural_entity_matching_spark.operators.blocking import (
     lsh_band_keys,
@@ -77,6 +80,64 @@ def _dir_exists(spark: SparkSession, path: str) -> bool:
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     return bool(fs.exists(jpath))
+
+
+def _read_text(spark: SparkSession, path: str) -> str:
+    """Small-file read via Hadoop FS (same URI generality as _dir_exists)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    sink = jvm.java.io.ByteArrayOutputStream()
+    # close=True closes both ends even on error
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, sink, 4096, True)
+    return sink.toString("UTF-8")
+
+
+def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+
+
+def _check_or_write_manifest(
+    spark: SparkSession, work_dir: str, params: dict
+) -> None:
+    """Pin the store's key-space parameters to the work_dir.
+
+    The sigs/ and keys/ stores are only meaningful under the EXACT
+    hashing configuration that produced them: a different minhash
+    family / seed / band layout yields band keys that never collide
+    with the stored ones (cross-epoch candidates silently vanish), and
+    a different ``store_partitions`` makes the upsert's anti-join prune
+    miss old bucket rows (stale duplicates accumulate). A manifest is
+    written next to the stores on first use; reopening the work_dir
+    with ANY divergent parameter raises instead of corrupting state.
+    At deployment the same role is played by Iceberg table properties
+    on the store tables.
+    """
+    path = f"{work_dir}/_STORE_MANIFEST.json"
+    if _dir_exists(spark, path):
+        stored = json.loads(_read_text(spark, path))
+        if stored != params:
+            diff = {
+                k: (stored.get(k), params.get(k))
+                for k in sorted(set(stored) | set(params))
+                if stored.get(k) != params.get(k)
+            }
+            raise ValueError(
+                "incremental_er: existing store at "
+                f"{work_dir!r} was built with incompatible parameters "
+                f"(stored, requested): {diff}. Use a fresh work_dir or "
+                "rebuild the store by replaying turns/."
+            )
+    else:
+        _write_text(spark, path, json.dumps(params, sort_keys=True))
 
 
 def incremental_er(
@@ -99,6 +160,9 @@ def incremental_er(
         sigs/part=P/     signature store, hash-partitioned on conv_id
         keys/part=P/     band-key store, same partitioning
         matches/epoch=N/ match-log rows (conv_id_a/b, score, is_match)
+        _STORE_MANIFEST.json  hash-family + store-layout pin; reopening
+                         with different parameters raises (never mixes
+                         incompatible band-key spaces or bucket layouts)
 
     ``store_partitions``: hash-bucket count for the two stores. Size it
     so a bucket is a few hundred MB at the target corpus (e.g. 4096 at
@@ -110,10 +174,22 @@ def incremental_er(
     keys_dir = f"{work_dir}/keys"
     matches_dir = f"{work_dir}/matches"
 
+    store_params = {
+        "hash_family": HASH_FAMILY,
+        "store_partitions": int(store_partitions),
+        "num_hashes": int(num_hashes),
+        "bands": int(bands),
+        "char_ngram": int(char_ngram),
+        "seed": int(seed),
+    }
+
     def handle(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
         spark_ = batch.sparkSession
+        # refuse to mix key spaces / bucket layouts with an existing
+        # store (one tiny driver-side file read per epoch)
+        _check_or_write_manifest(spark_, work_dir, store_params)
         # 1. durable turn history + touched signature rebuild
         batch.write.mode("overwrite").parquet(f"{turns_dir}/epoch={epoch_id}")
         touched_ids = batch.select("conv_id").distinct()

@@ -62,3 +62,15 @@ def test_unknown_algorithm_raises(spark):
     edges = spark.createDataFrame([("a", "b")], ["conv_id_a", "conv_id_b"])
     with pytest.raises(ValueError):
         connected_components(edges, algorithm="nope")
+
+
+def test_star_raises_on_non_convergence(spark):
+    """An exhausted iteration budget with the edge digest still moving
+    must RAISE — labels derived from a still-moving edge set are not
+    component labels (round-4 advice item)."""
+    import pytest
+
+    chain = [(f"v{i:03d}", f"v{i + 1:03d}") for i in range(59)]
+    vertices = [f"v{i:03d}" for i in range(60)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _run(spark, chain, vertices, "star", max_iterations=1)

@@ -229,3 +229,75 @@ def test_store_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     n_store = spark.read.parquet(f"{work}/sigs").count()
     n_src = spark.read.parquet(src).select("conv_id").distinct().count()
     assert n_store == n_src
+
+def test_store_manifest_refuses_incompatible_reopen(spark, tmp_path):
+    """The work_dir pins its key-space + bucket-layout parameters in
+    _STORE_MANIFEST.json: reopening with a different store_partitions
+    (stale bucket layout -> silent duplicate accumulation) or a
+    different band-key configuration (disjoint key spaces -> silently
+    dropped cross-epoch candidates) must raise, and the error must name
+    the divergent parameter (round-4 advice items #1/#3)."""
+    import json
+
+    import pytest
+
+    from neural_entity_matching_spark import schema
+
+    src = str(tmp_path / "turns_src5")
+    work = str(tmp_path / "er_work5")
+    _write_src(spark, src, n_base=20, files=3)
+
+    q = incremental_er(spark, ingest.stream_transcripts(spark, src), work,
+                       str(tmp_path / "ck5a"), block_cap=100,
+                       threshold=0.55, store_partitions=8, **LSH).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    manifest = json.loads((tmp_path / "er_work5" / "_STORE_MANIFEST.json")
+                          .read_text())
+    from neural_entity_matching_spark.functions.minhash import HASH_FAMILY
+
+    assert manifest["hash_family"] == HASH_FAMILY
+    assert manifest["store_partitions"] == 8
+
+    # a new delta so the reopened stream has a batch to process
+    import datetime
+
+    new_turns = [("manifest-delta", 0, "user", "new text here", None,
+                  datetime.datetime(2023, 11, 14, 22, 13, 20))]
+    spark.createDataFrame(new_turns, schema=schema.TRANSCRIPTS) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    def reopen(ck, **overrides):
+        params = dict(block_cap=100, threshold=0.55, store_partitions=8,
+                      **LSH)
+        params.update(overrides)
+        q = incremental_er(spark, ingest.stream_transcripts(spark, src),
+                           work, str(tmp_path / ck), **params).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    with pytest.raises(Exception, match="store_partitions"):
+        reopen("ck5b", store_partitions=16)
+    with pytest.raises(Exception, match="seed"):
+        reopen("ck5c", seed=7)
+    # the manifest survives failed reopens and still admits matching params
+    reopen("ck5d")
+    # simulate a store written by an older minhash family (edit through
+    # the engine's own writer so the Hadoop checksum sidecar stays valid)
+    from neural_entity_matching_spark.streaming.incremental_er import (
+        _write_text,
+    )
+
+    manifest["hash_family"] = "minhash-xor-splitmix-v1"
+    _write_text(spark, str(tmp_path / "er_work5" / "_STORE_MANIFEST.json"),
+                json.dumps(manifest, sort_keys=True))
+    new_turns = [("manifest-delta-2", 0, "user", "more new text", None,
+                  datetime.datetime(2023, 11, 14, 22, 13, 21))]
+    spark.createDataFrame(new_turns, schema=schema.TRANSCRIPTS) \
+        .coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(Exception, match="hash_family"):
+        reopen("ck5e")

@@ -92,3 +92,19 @@ def test_trained_scorer_rescores_when_labels_change(spark, fixture_small,
     stages = {r["stage"] for r in metrics.select("stage").distinct().collect()}
     assert {"signatures", "candidates", "scored", "clusters"} <= stages
     assert metrics.filter(F.col("rows_out") <= 0).count() == 0
+
+
+def test_fingerprint_folds_minhash_family(monkeypatch):
+    """A minhash-family change must invalidate every stage snapshot for
+    otherwise-identical configs — resuming candidate snapshots across
+    families would silently mix incompatible band-key spaces (round-4
+    advice item #1). No Spark needed: fingerprints are pure."""
+    from neural_entity_matching_spark.plans import pipeline as pl
+
+    cfg = pl.PipelineConfig()
+    before = {s: cfg.fingerprint(s, "up") for s in
+              ("signatures", "candidates", "scored", "clusters")}
+    monkeypatch.setattr(pl, "HASH_FAMILY", "some-older-family-v0")
+    after = {s: cfg.fingerprint(s, "up") for s in before}
+    for stage in before:
+        assert before[stage] != after[stage], stage

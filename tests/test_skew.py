@@ -220,3 +220,20 @@ def test_all_strategies_and_encodings_identical(spark):
     }
     assert decoded == expect
     st.extra["id_mapping"].unpersist()
+
+
+def test_dense_id_mapping_rejects_duplicate_ids(spark):
+    """The bijection check must catch a caller passing a NON-distinct id
+    column (each dup would get several iids and every downstream pair
+    join would silently fan out) — round-4 advice item."""
+    import pytest
+
+    from neural_entity_matching_spark.operators.blocking import (
+        dense_id_mapping,
+    )
+
+    ids = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("b",)], ["_id"]
+    )
+    with pytest.raises(AssertionError, match="duplicates"):
+        dense_id_mapping(ids, partitions=4)
