@@ -8,10 +8,43 @@ from hypothesis import strategies as st
 from neural_entity_matching_spark.functions.minhash import _shingle_hashes
 from neural_entity_matching_spark.functions.similarity import (
     _indel_distance,
+    _indel_distance_batch,
     _jaro_winkler,
+    _jaro_winkler_batch,
 )
 
 texts = st.text(alphabet="abcdefg hij", max_size=40)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(texts, texts), max_size=20))
+def test_batch_kernels_match_scalar_oracles(pairs):
+    """The numpy whole-batch kernels (the rapidfuzz-absent UDF fallbacks)
+    are bit-identical to the scalar reference implementations."""
+    a = np.array([p[0] for p in pairs], dtype=object)
+    b = np.array([p[1] for p in pairs], dtype=object)
+    db = _indel_distance_batch(a, b)
+    jb = _jaro_winkler_batch(a, b)
+    for i, (x, y) in enumerate(pairs):
+        assert db[i] == _indel_distance(x, y)
+        assert abs(jb[i] - _jaro_winkler(x, y)) < 1e-12
+
+
+def test_batch_kernels_mixed_length_chunks():
+    """Chunking by length (incl. a >chunk-width outlier) must not change
+    results or drop rows."""
+    import random
+
+    rng = random.Random(3)
+    mk = lambda n: "".join(  # noqa: E731
+        rng.choice("abcdef x") for _ in range(rng.randint(0, n)))
+    a = np.array([mk(30) for _ in range(100)] + [mk(600), ""], dtype=object)
+    b = np.array([mk(30) for _ in range(100)] + [mk(600), "zz"], dtype=object)
+    db = _indel_distance_batch(a, b)
+    jb = _jaro_winkler_batch(a, b)
+    for i in range(len(a)):
+        assert db[i] == _indel_distance(a[i], b[i])
+        assert abs(jb[i] - _jaro_winkler(a[i], b[i])) < 1e-12
 
 
 @settings(max_examples=200, deadline=None)
