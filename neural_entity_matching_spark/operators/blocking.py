@@ -246,6 +246,7 @@ def packed_pairs_from_block_keys(
     id_col: str = "conv_id",
     materialize: bool = True,
     ids: DataFrame | None = None,
+    physical_block_cap: int = 1 << 20,
 ) -> tuple[DataFrame, BlockingStats]:
     """Grouped pair generation over DENSE ids with pairs packed into ONE
     int64 (``iid_a * 2^32 + iid_b``) until after dedup.
@@ -279,6 +280,17 @@ def packed_pairs_from_block_keys(
     consumed exactly once), cutting the blocking stage's fixed job count
     — the costs that do NOT shrink with executors and therefore tax the
     N->4N scaling ratio hardest.
+
+    ``physical_block_cap``: automatic degenerate-distribution fallback.
+    The single-pass group buffers each block's member array BEFORE the
+    ``block_cap`` filter (8 bytes/member in one task); if the size stats
+    show any physical block above this threshold (default 2^20 members =
+    8 MB buffered), pair generation REBUILDS through the
+    prune-before-collect shape (sizes partial-agg -> eligibility join ->
+    collect over surviving memberships only) instead of relying on the
+    caller to know to switch to strategy='grouped'. The oversized arrays
+    are buffered once — in the stats job that detects them — and never
+    again; ``stats.extra['fallback']`` records the trigger.
     """
     if ids is not None:
         raw = keys
@@ -328,6 +340,7 @@ def packed_pairs_from_block_keys(
         F.sum(
             F.when(F.col("bs") > block_cap, F.col("bs")).otherwise(0)
         ).alias("dropped"),
+        F.max("bs").alias("max_bs"),
     ).collect()[0]
     stats = BlockingStats(
         total_blocks=stats_row["total"] or 0,
@@ -336,6 +349,29 @@ def packed_pairs_from_block_keys(
         capped_at=block_cap,
         extra={"strategy": "packed", "id_mapping": mapping},
     )
+    if (stats_row["max_bs"] or 0) > physical_block_cap:
+        # degenerate distribution: some physical block's member array is
+        # past the single-task buffering budget. It was buffered ONCE (in
+        # the stats job above); rebuild pair-gen through the
+        # prune-before-collect shape so it never materializes again.
+        grouped.unpersist()
+        narrow_p = narrow.persist()
+        sizes = narrow_p.groupBy("block_key").agg(F.count("*").alias("bs"))
+        eligible = sizes.filter(
+            (F.col("bs") >= 2) & (F.col("bs") <= block_cap)
+        ).select("block_key")
+        grouped = (
+            narrow_p.join(eligible, "block_key")
+            .groupBy("block_key")
+            .agg(F.sort_array(F.collect_list("iid")).alias("ids"))
+            .select("ids", F.size("ids").alias("bs"))
+            .persist()
+        )
+        release = release_raw + [narrow_p, grouped]
+        stats.extra["fallback"] = (
+            f"prune-before-collect (max physical block "
+            f"{stats_row['max_bs']} > {physical_block_cap})"
+        )
     blocks = grouped.filter((F.col("bs") >= 2) & (F.col("bs") <= block_cap))
     # ids sorted ascending -> iid_a < iid_b holds inside the packed long
     pair_expr = (
@@ -634,6 +670,128 @@ def two_table_pairs_from_block_keys(
     return _finalize(pairs, stats, materialize, release)
 
 
+def packed_two_table_pairs_from_block_keys(
+    keys_lhs: DataFrame,
+    keys_rhs: DataFrame,
+    block_cap: int = 200,
+    id_col: str = "conv_id",
+    materialize: bool = True,
+    ids_lhs: DataFrame | None = None,
+    ids_rhs: DataFrame | None = None,
+) -> tuple[DataFrame, BlockingStats]:
+    """Two-table pair generation with cross-side pairs PACKED into one
+    int64 (``iid_lhs * 2^32 + iid_rhs``, each side's OWN dense rank)
+    through the dedup exchange — the two-table analogue of
+    ``packed_pairs_from_block_keys``.
+
+    Why: ``two_table_pairs_from_block_keys`` shuffles two int64 columns
+    through its pair dedup — the stage's largest exchange at
+    decontamination scale (cross-corpus dedup blocks a training corpus
+    against a benchmark corpus; the candidate volume is bands x corpus).
+    Packing halves the dedup exchange's row payload and reduces the hash
+    aggregate to a single-long key, exactly the measured win of the
+    one-table packed path (21.9s -> 15.1s on 30.0M pre-dedup rows).
+
+    Orientation is structural: the lhs rank ALWAYS occupies the high 32
+    bits, so unpacking preserves the reference's ltable/rtable
+    convention with no least/greatest canonicalization. Same single-pass
+    per-side grouping as the one-table path: one exchange per side
+    builds member arrays AND sizes; blocks present on only one side drop
+    out in the inner join (inert, uncounted — same stats semantics as
+    the unpacked two-table path). Requires < 2^31 distinct ids PER SIDE.
+
+    ``ids_lhs`` / ``ids_rhs``: optional pre-distinct id sets (e.g. each
+    signature table's id column) — skips a dropDuplicates exchange per
+    side. ``stats.extra``: ``packed_pairs`` (persisted packed handle),
+    ``id_mapping_lhs`` / ``id_mapping_rhs``.
+    """
+    sides = {}
+    release: list[DataFrame] = []
+    for tag, keys, ids in (("lhs", keys_lhs, ids_lhs),
+                           ("rhs", keys_rhs, ids_rhs)):
+        if ids is not None:
+            raw = keys
+            id_src = ids.select(F.col(id_col).alias("_id"))
+        else:
+            raw = keys.persist()
+            release.append(raw)
+            id_src = raw.select(F.col(id_col).alias("_id")).dropDuplicates()
+        mapping = dense_id_mapping(id_src)
+        n_ids = getattr(mapping, "nem_n", None) or mapping.count()
+        if n_ids >= (1 << 31):
+            mapping.unpersist()
+            for df in release:
+                df.unpersist()
+            raise ValueError(
+                f"{n_ids} distinct {tag} ids exceed the int32 packing "
+                "range; use two_table_pairs_from_block_keys instead")
+        grouped = (
+            raw.join(F.broadcast(mapping), raw[id_col] == mapping["_id"])
+            .select("iid", "block_key")
+            .groupBy("block_key")
+            .agg(F.sort_array(F.collect_list("iid")).alias(f"ids_{tag}"))
+        )
+        sides[tag] = (grouped, mapping)
+    ga, ma = sides["lhs"]
+    gb, mb = sides["rhs"]
+    joined = (
+        ga.join(gb, "block_key")
+        .select("ids_lhs", "ids_rhs",
+                F.size("ids_lhs").alias("ca"), F.size("ids_rhs").alias("cb"))
+        .persist()
+    )
+    release.append(joined)
+    over = (F.col("ca") > block_cap) | (F.col("cb") > block_cap)
+    stats_row = joined.agg(
+        F.count("*").alias("total"),
+        F.sum(over.cast("int")).alias("over"),
+        F.sum(F.when(over, F.col("ca") + F.col("cb")).otherwise(0))
+        .alias("dropped"),
+    ).collect()[0]
+    stats = BlockingStats(
+        total_blocks=stats_row["total"] or 0,
+        oversized_blocks=stats_row["over"] or 0,
+        dropped_memberships=stats_row["dropped"] or 0,
+        capped_at=block_cap,
+        extra={"strategy": "two_table_packed",
+               "id_mapping_lhs": ma, "id_mapping_rhs": mb},
+    )
+    pair_expr = (
+        "flatten(transform(ids_lhs, x -> "
+        "transform(ids_rhs, y -> x * 4294967296L + y)))"
+    )
+    packed = (
+        joined.filter(~over)
+        .select(F.explode(F.expr(pair_expr)).alias("pk"))
+        .dropDuplicates(["pk"])
+        .persist()
+    )
+    stats.extra["packed_pairs"] = packed
+    if materialize:
+        stats.extra["n_pairs"] = packed.count()
+        for df in release:
+            df.unpersist()
+    else:
+        stats.extra["_persisted"] = release + [packed]
+    pairs = packed.select(
+        F.floor(F.col("pk") / F.lit(_PACK)).cast("long").alias("iid_a"),
+        F.pmod("pk", F.lit(_PACK)).alias("iid_b"),
+    )
+    # lazy decode through each side's mapping: real ids, lhs/rhs
+    # orientation preserved structurally by the packing
+    pairs = (
+        pairs
+        .join(F.broadcast(ma).select(F.col("iid").alias("iid_a"),
+                                     F.col("_id").alias("conv_id_a")),
+              "iid_a")
+        .join(F.broadcast(mb).select(F.col("iid").alias("iid_b"),
+                                     F.col("_id").alias("conv_id_b")),
+              "iid_b")
+        .select("conv_id_a", "conv_id_b")
+    )
+    return pairs, stats
+
+
 def lsh_block(
     signatures: DataFrame,
     num_hashes: int = 128,
@@ -655,8 +813,10 @@ def lsh_block(
 
     ``signatures_rhs``: two-table mode (reference ltable/rtable) — band
     keys are computed for both sides with the SAME seeded hash family and
-    only cross-side pairs are emitted (strategy is ignored; the two-table
-    join is its own plan).
+    only cross-side pairs are emitted. strategy='packed' routes to
+    ``packed_two_table_pairs_from_block_keys`` (per-side dense ranks,
+    single-int64 dedup exchange); every other strategy uses the standard
+    two-table join plan.
 
     ``decode_ids=False`` (grouped/packed strategies): candidate pairs
     keep the compact codes (xxhash64 for grouped, dense ranks for
@@ -669,6 +829,12 @@ def lsh_block(
     if signatures_rhs is not None:
         keys_rhs = lsh_band_keys(signatures_rhs, num_hashes, bands,
                                  char_ngram, seed)
+        if strategy == "packed":
+            return packed_two_table_pairs_from_block_keys(
+                keys, keys_rhs, block_cap=block_cap,
+                materialize=materialize,
+                ids_lhs=signatures.select(F.col("conv_id")),
+                ids_rhs=signatures_rhs.select(F.col("conv_id")))
         return two_table_pairs_from_block_keys(
             keys, keys_rhs, block_cap=block_cap, materialize=materialize)
     if strategy == "grouped":

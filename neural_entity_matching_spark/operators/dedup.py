@@ -129,9 +129,16 @@ def cross_corpus_dedup(
     Output orientation is preserved: ``id_a`` is always from ``docs``
     (the corpus being cleaned), ``id_b`` from ``reference_docs`` — the
     caller anti-joins ``docs`` on id_a to drop contaminated rows.
+
+    Pair generation runs the PACKED two-table path (per-side dense
+    ranks, candidates dedup'd as one int64): at decontamination scale
+    the candidate volume is bands x corpus and the pair-dedup exchange
+    is the stage's largest — packing halves its row payload, the same
+    measured win as the one-table packed path. Orientation is structural
+    (lhs rank in the high 32 bits).
     """
     from neural_entity_matching_spark.operators.blocking import (
-        two_table_pairs_from_block_keys,
+        packed_two_table_pairs_from_block_keys,
     )
 
     udf = band_keys_udf(num_hashes=num_hashes, bands=bands,
@@ -144,7 +151,7 @@ def cross_corpus_dedup(
             .select("conv_id", F.explode(udf("t")).alias("block_key"))
         )
 
-    cand, stats = two_table_pairs_from_block_keys(
+    cand, stats = packed_two_table_pairs_from_block_keys(
         _keys(docs), _keys(reference_docs), block_cap=block_cap)
 
     def _grams(d):
@@ -167,7 +174,8 @@ def cross_corpus_dedup(
         .select("id_a", "id_b", F.round("jacc", 6).alias("jacc"))
     ).persist()
     stats.extra["n_verified"] = pairs.count()
-    cand.unpersist()
+    for h in ("packed_pairs", "id_mapping_lhs", "id_mapping_rhs"):
+        stats.extra[h].unpersist()
     return pairs, stats
 
 

@@ -75,3 +75,59 @@ def test_two_table_token_overlap_orientation(spark):
                                    signatures_rhs=rhs)
     got = {(r["conv_id_a"], r["conv_id_b"]) for r in pairs.collect()}
     assert got == {("a1", "b1")}
+
+
+def test_packed_two_table_equals_unpacked(spark):
+    """Round-5 verdict item #8: the packed two-table path (per-side dense
+    ranks, single-int64 dedup exchange) must produce the identical
+    oriented pair set and identical cap/stats semantics as the unpacked
+    two-table join, including blocks oversized on exactly one side and
+    ids appearing under many block keys (dedup load)."""
+    from neural_entity_matching_spark.operators.blocking import (
+        packed_two_table_pairs_from_block_keys,
+    )
+
+    rows_l = (
+        [(f"l{i}", "hot") for i in range(6)]
+        + [("l9", "cold"), ("l10", "cold"), ("l9", "warm"), ("l10", "warm")]
+    )
+    rows_r = (
+        [(f"r{i}", "hot") for i in range(3)]
+        + [("r9", "cold"), ("r9", "warm"), ("r10", "warm")]
+    )
+    kl = spark.createDataFrame(rows_l, ["conv_id", "block_key"])
+    kr = spark.createDataFrame(rows_r, ["conv_id", "block_key"])
+    for cap in (5, 200):
+        pu, su = two_table_pairs_from_block_keys(kl, kr, block_cap=cap)
+        pp, sp = packed_two_table_pairs_from_block_keys(kl, kr,
+                                                        block_cap=cap)
+        got_u = {(r["conv_id_a"], r["conv_id_b"]) for r in pu.collect()}
+        got_p = {(r["conv_id_a"], r["conv_id_b"]) for r in pp.collect()}
+        assert got_p == got_u
+        # orientation: lhs ids only ever on the a side
+        assert all(a.startswith("l") and b.startswith("r")
+                   for a, b in got_p)
+        assert (sp.total_blocks, sp.oversized_blocks,
+                sp.dropped_memberships, sp.extra["n_pairs"]) == (
+            su.total_blocks, su.oversized_blocks,
+            su.dropped_memberships, su.extra["n_pairs"])
+        sp.extra["packed_pairs"].unpersist()
+        for m in (sp.extra["id_mapping_lhs"], sp.extra["id_mapping_rhs"]):
+            m.unpersist()
+
+
+def test_two_table_lsh_packed_strategy(fixture_small):
+    """lsh_block(strategy='packed', signatures_rhs=...) routes through the
+    packed two-table path and matches the default two-table plan."""
+    transcripts, _, _ = fixture_small
+    sigs = build_signatures(transcripts).cache()
+    lhs = sigs.filter(~F.col("conv_id").rlike("-d[0-9]$")).cache()
+    rhs = sigs.filter(F.col("conv_id").rlike("-d[0-9]$")).cache()
+    p_def, s_def = lsh_block(lhs, block_cap=35, signatures_rhs=rhs, **LSH)
+    p_pkd, s_pkd = lsh_block(lhs, block_cap=35, signatures_rhs=rhs,
+                             strategy="packed", **LSH)
+    got_def = {(r["conv_id_a"], r["conv_id_b"]) for r in p_def.collect()}
+    got_pkd = {(r["conv_id_a"], r["conv_id_b"]) for r in p_pkd.collect()}
+    assert got_pkd == got_def
+    assert s_pkd.extra["n_pairs"] == s_def.extra["n_pairs"]
+    assert s_pkd.extra["strategy"] == "two_table_packed"
