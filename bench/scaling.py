@@ -50,6 +50,7 @@ protocol is built to NOT inherit it:
 
 Usage:
     python bench/scaling.py run [n_base] [pairs]   # append one batch
+    python bench/scaling.py ml [n_base] [pairs]    # ML-matcher chain batch
     python bench/scaling.py report [n_base]        # estimators -> BASELINE.md
     python bench/scaling.py 80000 2                # legacy: run + report
 """
@@ -86,18 +87,18 @@ def probe() -> float:
     return round(passes / (time.monotonic() - t0), 2)
 
 
-def run(executors: int, n_base: int) -> dict:
+def run(executors: int, n_base: int, mode: str = "cluster") -> dict:
     env = dict(os.environ,
                NEM_CORES_PER_EXECUTOR=str(CORES_PER_EXECUTOR))
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench", "scaling_worker.py"),
-         str(executors), str(n_base)],
+         str(executors), str(n_base), mode],
         capture_output=True, text=True, check=True, cwd=REPO, env=env,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def run_batch(n_base: int, pairs: int) -> None:
+def run_batch(n_base: int, pairs: int, mode: str = "cluster") -> None:
     """Append ``pairs`` back-to-back (E1, E4) phase-matched pairs to the
     record. Keep the machine otherwise idle for the whole batch."""
     os.makedirs(os.path.dirname(RECORD), exist_ok=True)
@@ -106,7 +107,7 @@ def run_batch(n_base: int, pairs: int) -> None:
     for pair_idx in range(pairs):
         for e in (1, 4):
             p_before = probe()
-            r = run(e, n_base)
+            r = run(e, n_base, mode)
             r.update({
                 "ts": datetime.datetime.now(datetime.timezone.utc)
                 .strftime("%Y-%m-%dT%H:%M:%SZ"),
@@ -118,12 +119,17 @@ def run_batch(n_base: int, pairs: int) -> None:
             print(json.dumps(r), flush=True)
 
 
-def load_record(n_base: int) -> list[dict]:
+def load_record(n_base: int, mode: str = "er") -> list[dict]:
+    """Rows for one (corpus size, workload mode). ``mode='er'`` is the
+    threshold chain (rows without a mode tag predate ML mode); 'ml' is
+    the trained-scorer chain — never mixed in one estimate (different
+    work, different 'pairs' invariant)."""
     if not os.path.exists(RECORD):
         return []
     with open(RECORD) as f:
         rows = [json.loads(line) for line in f if line.strip()]
-    return [r for r in rows if r["n_base"] == n_base]
+    return [r for r in rows
+            if r["n_base"] == n_base and r.get("mode", "er") == mode]
 
 
 def estimators(rows: list[dict]) -> dict:
@@ -133,12 +139,22 @@ def estimators(rows: list[dict]) -> dict:
     # byte-identical-work invariant: every run scored the same pair set
     assert len({r["pairs"] for r in rows}) == 1
     assert len({r["matches"] for r in rows}) == 1
+    # single-variant invariant: plan-flag changes mid-record would let a
+    # faster variant's minimum pair with a slower variant's minimum
+    variants = {r.get("variant", "untagged") for r in rows}
+    assert len(variants) == 1, f"mixed plan variants in record: {variants}"
 
     def best(e, k):  # capability = fastest observed (min wall)
         return min(r[k] for r in by[e])
 
     def med(e, k):
         return statistics.median(r[k] for r in by[e])
+
+    # per-stage wall keys, workload-agnostic: er rows carry
+    # blocking/scoring, ml rows featurize/fit/score
+    stage_keys = [k for k in rows[0]
+                  if k.endswith("_sec")
+                  and k not in ("wall_sec", "pairs_per_sec")]
 
     # phase-matched pairs: (E1, E4) with the same (batch, pair) tag
     paired = []
@@ -148,8 +164,8 @@ def estimators(rows: list[dict]) -> dict:
         if r4:
             paired.append({
                 "eff": r1["wall_sec"] / (4 * r4["wall_sec"]),
-                "block_eff": r1["blocking_sec"] / (4 * r4["blocking_sec"]),
-                "score_eff": r1["scoring_sec"] / (4 * r4["scoring_sec"]),
+                "stage_eff": {k: r1[k] / (4 * r4[k]) if r4[k] else None
+                              for k in stage_keys},
                 "batch": r1["batch"], "pair": r1["pair"],
                 "t1": r1["wall_sec"], "t4": r4["wall_sec"],
             })
@@ -157,13 +173,12 @@ def estimators(rows: list[dict]) -> dict:
         "n_runs": {e: len(by[e]) for e in (1, 4)},
         "n_batches": len({r["batch"] for r in rows}),
         "pairs": rows[0]["pairs"], "matches": rows[0]["matches"],
+        "stage_keys": stage_keys,
         "capability": {
             "t1": best(1, "wall_sec"), "t4": best(4, "wall_sec"),
             "eff": best(1, "wall_sec") / (4 * best(4, "wall_sec")),
-            "block_eff": best(1, "blocking_sec")
-            / (4 * best(4, "blocking_sec")),
-            "score_eff": best(1, "scoring_sec")
-            / (4 * best(4, "scoring_sec")),
+            "stage_eff": {k: best(1, k) / (4 * best(4, k))
+                          if best(4, k) else None for k in stage_keys},
             "pps1": max(r["pairs_per_sec"] for r in by[1]),
             "pps4": max(r["pairs_per_sec"] for r in by[4]),
         },
@@ -178,17 +193,56 @@ def estimators(rows: list[dict]) -> dict:
     }
 
 
-def _fmt_run_table(rows: list[dict]) -> str:
-    lines = ["| UTC time | batch | E | wall sec | blocking | scoring "
+def _fmt_run_table(rows: list[dict],
+                   stage_keys=("blocking_sec", "scoring_sec")) -> str:
+    names = " | ".join(k[:-4] for k in stage_keys)
+    lines = [f"| UTC time | batch | E | wall sec | {names} "
              "| pairs/sec | probe before/after |",
-             "|---|---|---|---|---|---|---|---|"]
+             "|---" * (6 + len(stage_keys)) + "|"]
     for r in sorted(rows, key=lambda r: r["ts"]):
+        stages = " ".join(f"| {r[k]:.2f}" for k in stage_keys)
         lines.append(
             f"| {r['ts'][11:19]} | {r['batch'][9:13]} | {r['executors']} "
-            f"| {r['wall_sec']:.2f} | {r['blocking_sec']:.2f} "
-            f"| {r['scoring_sec']:.2f} | {r['pairs_per_sec']:,.0f} "
+            f"| {r['wall_sec']:.2f} {stages} | {r['pairs_per_sec']:,.0f} "
             f"| {r.get('probe_before', '')} / {r.get('probe_after', '')} |")
     return "\n".join(lines)
+
+
+def _ml_section(n_base: int) -> str:
+    rows = load_record(n_base, mode="ml")
+    if not rows:
+        return ""
+    est = estimators(rows)
+    cap = est["capability"]
+    se = {k: (f"{v:.3f}" if v is not None else "n/a")
+          for k, v in cap["stage_eff"].items()}
+    paired = est["paired"]
+    pm = (f"{est['paired_median_eff']:.3f}" if paired else "n/a")
+    out = f"""## ML-matcher chain: N vs 4N executors (mode=ml, n_base={n_base})
+
+The trained-scorer path — exact featurize (73% of the sf0.1 ML wall) ->
+logistic fit (seed 0) -> model scoring — measured under the same
+N- vs 4N-executor discipline as the threshold chain
+(``python bench/scaling.py ml {n_base} <pairs>``). Work per run:
+{est['pairs']:,} candidate pairs (deterministic xxhash64 1/137 sample of
+the packed LSH candidate set — byte-identical across levels),
+{est['matches']:,} model matches. Blocking sits outside the timed
+section (its scaling is the headline measurement above).
+
+| estimator | T1 (1x1) | T4 (4x1) | efficiency N->4N |
+|---|---|---|---|
+| capability (min wall) | {cap['t1']:.2f} s | {cap['t4']:.2f} s | **{cap['eff']:.3f}** |
+| paired-ratio median ({len(paired)} pairs) | — | — | {pm} |
+
+Stage capability efficiencies: featurize {se['featurize_sec']},
+fit {se['fit_sec']}, score {se['score_sec']}. (The fit stage is a small
+driver-iterated spark.ml job — its efficiency is reported for
+completeness but featurize + score carry ~95% of the wall.)
+
+{_fmt_run_table(rows, ("featurize_sec", "fit_sec", "score_sec"))}
+
+"""
+    return out
 
 
 def _fmt_paired_table(paired: list[dict]) -> str:
@@ -258,8 +312,8 @@ fixes the estimator, not the (already-measured) plan:
 **Throughput at both levels (capability): {cap['pps1']:,.0f}
 pairs-scored/sec at N=1 executor, {cap['pps4']:,.0f} at 4N — efficiency
 {cap['eff']:.3f}** (north-rule target >= 0.8). Stage capability
-efficiencies: blocking {cap['block_eff']:.3f}, scoring
-{cap['score_eff']:.3f}.
+efficiencies: blocking {cap['stage_eff']['blocking_sec']:.3f}, scoring
+{cap['stage_eff']['scoring_sec']:.3f}.
 
 Phase-matched paired ratios (each pair back-to-back in one window):
 
@@ -271,7 +325,7 @@ quiet-host rate is the record's max; lower probe -> neighbor pressure):
 
 {_fmt_run_table(rows)}
 
-## Why 1 core per executor is the honest operating point here
+{_ml_section(n_base)}## Why 1 core per executor is the honest operating point here
 
 ``bench/calibrate.py`` (reproducible): this box's aggregate DRAM
 streaming throughput saturates at ~4.5x the single-core rate (measured
@@ -418,10 +472,11 @@ byte-identical resume (test_pipeline_resume, test_grid).
 
 
 def main() -> None:
-    if len(sys.argv) > 1 and sys.argv[1] == "run":
+    if len(sys.argv) > 1 and sys.argv[1] in ("run", "ml"):
         n_base = int(sys.argv[2]) if len(sys.argv) > 2 else 80000
         pairs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-        run_batch(n_base, pairs)
+        run_batch(n_base, pairs,
+                  mode="ml" if sys.argv[1] == "ml" else "cluster")
         return
     if len(sys.argv) > 1 and sys.argv[1] == "report":
         report(int(sys.argv[2]) if len(sys.argv) > 2 else 80000)

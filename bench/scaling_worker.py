@@ -70,7 +70,7 @@ def main() -> None:
     # pins every cached partition (and all downstream locality) onto the
     # first executor, silently measuring a 1-executor run
     wait_for_executors(spark, cores)
-    transcripts, _, _ = to_spark(spark, n_base=n_base, seed=42)
+    transcripts, labeled, _ = to_spark(spark, n_base=n_base, seed=42)
     transcripts = transcripts.repartition(cores * 2).cache()
     transcripts.count()
     sigs = build_signatures(transcripts).cache()
@@ -86,6 +86,11 @@ def main() -> None:
         return s.str.len().astype("int64")
 
     sigs.select(_warm("sig_text").alias("w")).agg(F.sum("w")).collect()
+
+    if mode == "ml":
+        _run_ml(spark, sigs, labeled, executors=executors, cores=cores,
+                n_base=n_base)
+        return
 
     stages = {}
     t0 = time.monotonic()
@@ -165,8 +170,94 @@ def main() -> None:
         "executors": executors, "cores": cores, "n_base": n_base,
         "pairs": n_scored, "matches": n_matches, "wall_sec": round(wall, 2),
         "pairs_per_sec": round(n_scored / wall, 1), **stages,
+        # variant tag: the record spans rounds, so every row states which
+        # plan flags it ran under — estimators refuse to mix variants
+        "variant": "|".join(
+            f"{k}={os.environ.get(k, d)}"
+            for k, d in (("NEM_SHUFFLE_FACTOR", "2"),
+                         ("NEM_CLUSTER_BY_A", "1"),
+                         ("NEM_SORT_BROADCAST", "1"))),
     }))
     assert n_pairs == n_scored
+
+
+# deterministic 1/ML_SAMPLE_MOD of the packed candidate set: xxhash64 of
+# the packed pair long decorrelates the keep set from iid structure, and
+# the SAME pairs are kept at every executor count (byte-identical work).
+# 137 puts the 1x1-core featurize+fit+score wall near the ER chain's
+# scale (~200k exact-feature pairs) without running for an hour.
+ML_SAMPLE_MOD = int(os.environ.get("NEM_ML_SAMPLE_MOD", "137"))
+
+
+def _run_ml(spark, sigs, labeled, *, executors: int, cores: int,
+            n_base: int) -> None:
+    """ML-matcher scaling measurement (round-5 verdict item #4): the
+    trained-scorer path — exact featurize (the bench's single biggest
+    wall: 73% of the sf0.1 ML wall) -> logistic fit (seed 0) -> model
+    scoring — under the same N- vs 4N-executor discipline as the
+    threshold chain. Blocking runs OUTSIDE the timed section (its N->4N
+    behavior is already measured by mode='cluster'); the timed stages
+    are exactly bench.py's run_ml_scorer stages at executor scale."""
+    from pyspark.sql import functions as F
+
+    from neural_entity_matching_spark.operators.blocking import lsh_block
+    from neural_entity_matching_spark.operators.ml_scorer import (
+        score_with_model,
+        train_scorer,
+    )
+    from neural_entity_matching_spark.operators.scoring import (
+        attach_labels,
+        featurize_pairs,
+    )
+
+    _, bstats = lsh_block(
+        sigs, num_hashes=128, bands=64, char_ngram=8, seed=42, block_cap=35,
+        strategy="packed",
+    )
+    packed = bstats.extra["packed_pairs"]
+    mapping = F.broadcast(bstats.extra["id_mapping"])
+    cand = (
+        packed.filter(F.pmod(F.xxhash64("pk"), F.lit(ML_SAMPLE_MOD)) == 0)
+        .select(
+            F.floor(F.col("pk") / F.lit(1 << 32)).cast("long").alias("iid_a"),
+            F.pmod("pk", F.lit(1 << 32)).alias("iid_b"),
+        )
+        .join(mapping.select(F.col("iid").alias("iid_a"),
+                             F.col("_id").alias("conv_id_a")), "iid_a")
+        .join(mapping.select(F.col("iid").alias("iid_b"),
+                             F.col("_id").alias("conv_id_b")), "iid_b")
+        .select("conv_id_a", "conv_id_b")
+        .repartition(cores * int(os.environ.get("NEM_SHUFFLE_FACTOR", "2")))
+        .persist()
+    )
+    n_cand = cand.count()  # decode + sample materialized outside the clock
+    labeled = labeled.persist()
+    labeled.count()
+
+    stages = {}
+    t0 = time.monotonic()
+    feats = featurize_pairs(cand, sigs, broadcast_signatures=True).persist()
+    feats.count()
+    stages["featurize_sec"] = round(time.monotonic() - t0, 2)
+    t1 = time.monotonic()
+    model = train_scorer(attach_labels(feats, labeled), model="logistic",
+                         seed=0)
+    stages["fit_sec"] = round(time.monotonic() - t1, 2)
+    t2 = time.monotonic()
+    scored = score_with_model(model, feats, threshold=0.5).persist()
+    n_scored = scored.count()
+    n_matches = int(scored.agg(F.sum("is_match")).collect()[0][0] or 0)
+    stages["score_sec"] = round(time.monotonic() - t2, 2)
+    wall = time.monotonic() - t0
+    spark.stop()
+    print(json.dumps({
+        "mode": "ml", "executors": executors, "cores": cores,
+        "n_base": n_base, "pairs": n_scored, "matches": n_matches,
+        "wall_sec": round(wall, 2),
+        "pairs_per_sec": round(n_scored / wall, 1), **stages,
+        "variant": f"ml-logistic|NEM_ML_SAMPLE_MOD={ML_SAMPLE_MOD}",
+    }))
+    assert n_scored == n_cand
 
 
 if __name__ == "__main__":
