@@ -301,3 +301,69 @@ def read_current_matches(spark: SparkSession, work_dir: str) -> DataFrame:
                 F.col("last.is_match").alias("is_match"))
     )
     return latest.filter(F.col("is_match") == 1).drop("is_match")
+
+
+def compact_matches(
+    spark: SparkSession, work_dir: str, keep_history: bool = False
+) -> dict:
+    """Compact the append-only match log to latest-evaluation-per-pair.
+
+    ``read_current_matches`` aggregates EVERY epoch ever written, so its
+    read cost grows with stream age, not with the entity count. This
+    rewrite keeps, for each pair, only its latest evaluation — including
+    ``is_match = 0`` rows, which supersede earlier positive evaluations
+    and must survive compaction — preserved under the pair's own
+    ``epoch=N`` partition, so ``read_current_matches`` is byte-identical
+    before and after and subsequent epochs append exactly as before.
+
+    ``keep_history=True`` parks the uncompacted log at
+    ``matches_precompact/`` (audit trail); False deletes it. The rewrite
+    is swap-based: the compacted log is fully written to a temp dir,
+    verified (one row per distinct pair), and only then swapped in — a
+    crash before the swap leaves the original log untouched; a crash
+    between the two renames leaves the original at
+    ``matches_precompact/`` (restore by renaming back). At deployment
+    this operation is Iceberg ``rewrite_data_files`` / a MERGE into a
+    latest-state table; the parquet swap is the sandbox equivalent.
+
+    Returns ``{"rows_before", "rows_after", "epochs_before"}``.
+    """
+    matches_dir = f"{work_dir}/matches"
+    if not _dir_exists(spark, matches_dir):
+        raise FileNotFoundError(f"no match log at {matches_dir}")
+    log = spark.read.parquet(matches_dir)
+    rows_before = log.count()
+    epochs_before = log.select("epoch").distinct().count()
+    latest = (
+        log.groupBy("conv_id_a", "conv_id_b")
+        .agg(F.max_by(F.struct("score", "is_match", "epoch"),
+                      F.col("epoch")).alias("last"))
+        .select("conv_id_a", "conv_id_b",
+                F.col("last.score").alias("score"),
+                F.col("last.is_match").alias("is_match"),
+                F.col("last.epoch").alias("epoch"))
+    )
+    tmp_dir = f"{work_dir}/matches_compact_tmp"
+    latest.write.mode("overwrite").partitionBy("epoch").parquet(tmp_dir)
+    rows_after = spark.read.parquet(tmp_dir).count()
+    n_pairs = log.select("conv_id_a", "conv_id_b").distinct().count()
+    if rows_after != n_pairs:
+        raise RuntimeError(
+            f"compaction wrote {rows_after} rows for {n_pairs} distinct "
+            f"pairs — aborting before swap; original log untouched")
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(matches_dir).getFileSystem(
+        spark._jsc.hadoopConfiguration())
+    backup = f"{work_dir}/matches_precompact"
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(matches_dir),
+                     jvm.org.apache.hadoop.fs.Path(backup)):
+        raise IOError(f"could not move {matches_dir} aside to {backup}")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp_dir),
+                     jvm.org.apache.hadoop.fs.Path(matches_dir)):
+        raise IOError(
+            f"swap failed: original log preserved at {backup} — rename it "
+            f"back to {matches_dir} to recover")
+    if not keep_history:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(backup), True)
+    return {"rows_before": rows_before, "rows_after": rows_after,
+            "epochs_before": epochs_before}

@@ -100,6 +100,31 @@ def test_incremental_er_converges_to_batch(spark, tmp_path, monkeypatch):
     got_sigs = {r["conv_id"]: r["sig_text"] for r in store.collect()}
     assert got_sigs == exp_sigs
 
+    # log compaction (round-5 verdict item #6): latest-per-pair rewrite
+    # preserves the converged view exactly and bounds read cost by the
+    # pair count, not the stream age
+    from neural_entity_matching_spark.streaming.incremental_er import (
+        compact_matches,
+    )
+
+    full_view = {
+        (r["conv_id_a"], r["conv_id_b"], round(r["score"], 9))
+        for r in read_current_matches(spark, work).collect()
+    }
+    info = compact_matches(spark, work)
+    assert info["rows_after"] <= info["rows_before"]
+    compacted_view = {
+        (r["conv_id_a"], r["conv_id_b"], round(r["score"], 9))
+        for r in read_current_matches(spark, work).collect()
+    }
+    assert compacted_view == full_view
+    # compacted log: exactly one row per distinct pair
+    log = spark.read.parquet(f"{work}/matches")
+    assert log.count() == log.select("conv_id_a", "conv_id_b").distinct().count()
+    # idempotent: compacting a compacted log changes nothing
+    info2 = compact_matches(spark, work)
+    assert info2["rows_before"] == info2["rows_after"] == info["rows_after"]
+
 
 def test_incremental_er_cap_bounds_hot_block_work(spark, tmp_path):
     src = str(tmp_path / "turns_src2")
