@@ -80,6 +80,7 @@ def fit_predict_with_refit(
     model: str = "logistic",
     threshold: float = 0.5,
     seed: int = 0,
+    feature_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Reference experiment shape: fit on train, predict train/valid, then
     refit on train+valid and predict test (model_magellan_ml.py:292-308).
@@ -96,9 +97,11 @@ def fit_predict_with_refit(
             degenerate_scorer(valid_feats),
             degenerate_scorer(test_feats),
         )
-    m1 = train_scorer(train_feats, model=model, seed=seed)
+    m1 = train_scorer(train_feats, model=model, seed=seed,
+                      feature_cols=feature_cols)
     train_pred = score_with_model(m1, train_feats, threshold)
     valid_pred = score_with_model(m1, valid_feats, threshold)
-    m2 = train_scorer(train_feats.unionByName(valid_feats), model=model, seed=seed)
+    m2 = train_scorer(train_feats.unionByName(valid_feats), model=model,
+                      seed=seed, feature_cols=feature_cols)
     test_pred = score_with_model(m2, test_feats, threshold)
     return train_pred, valid_pred, test_pred
