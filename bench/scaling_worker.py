@@ -223,10 +223,13 @@ def _run_ml(spark, sigs, labeled, *, executors: int, cores: int,
             F.pmod("pk", F.lit(1 << 32)).alias("iid_b"),
         )
         .join(mapping.select(F.col("iid").alias("iid_a"),
-                             F.col("_id").alias("conv_id_a")), "iid_a")
+                             F.col("_id").alias("_ida")), "iid_a")
         .join(mapping.select(F.col("iid").alias("iid_b"),
-                             F.col("_id").alias("conv_id_b")), "iid_b")
-        .select("conv_id_a", "conv_id_b")
+                             F.col("_id").alias("_idb")), "iid_b")
+        # canonical real-id orientation (iid order is a bijection, not the
+        # id sort order): label attachment expects least/greatest pairs
+        .select(F.least("_ida", "_idb").alias("conv_id_a"),
+                F.greatest("_ida", "_idb").alias("conv_id_b"))
         .repartition(cores * int(os.environ.get("NEM_SHUFFLE_FACTOR", "2")))
         .persist()
     )
