@@ -440,8 +440,8 @@ across batches hours apart) replace the single-window median.
 ## Iceberg status (north rule: resume from Iceberg snapshot checkpoints)
 
 No iceberg-spark-runtime jar exists anywhere on this offline image
-(re-searched round 4: filesystem-wide find, /opt/spark/jars, pip
-download pyiceberg — all empty/offline), so
+(re-searched round 5: filesystem-wide find over /, pyspark's jars dir,
+pip download pyiceberg — all empty/offline), so
 ``sources/io.py`` keeps the import-gated Iceberg branch and implements the
 same snapshot contract over parquet + atomic ``_SNAPSHOT.json`` commits —
 fingerprint-keyed snapshot dirs, crash-safe invalidate-before-overwrite,

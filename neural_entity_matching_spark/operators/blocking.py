@@ -958,8 +958,9 @@ def edit_distance_filter(
     ``metric='indel'`` for bit-exact reference parity — it routes
     through the Arrow-batched fuzz_ratio_udf, which dispatches to
     rapidfuzz's C ``fuzz.ratio`` when that package is importable on the
-    workers and otherwise runs a pure-Python O(n*m) LCS loop (the only
-    option in this sandbox image — rapidfuzz is not installed here).
+    workers and otherwise runs a vectorized numpy whole-batch LCS DP
+    (length-sorted chunks, one np.maximum.accumulate per DP row — no
+    per-string Python loop; rapidfuzz is absent from this image).
     Either way 'indel' is the slow path relative to the JVM
     'lev_ratio': keep 'lev_ratio' unless reference-identical survivor
     sets are required.

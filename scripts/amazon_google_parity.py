@@ -28,6 +28,23 @@ counts + blocking recall at the same (r, b) operating points; the
 S-curve p(s) = 1-(1-s^r)^b is hash-family-independent, so counts land in
 the same range iff the blocker semantics match.
 
+Matcher stage (round-5 verdict item #2 — EP2's back half,
+model_magellan_ml.py:138-346): for each sampler x bands operating point,
+block train/valid/test, featurize the candidates with this engine's
+pairwise vector per reference attribute (title / description / price —
+the columns the reference keeps, model_magellan_ml.py:199-204), attach
+labels (left join + 0, :207-209), fit LR / RF / GBT with seed 0, REFIT
+on train+valid before scoring test (:292-308; GBT is the spark.ml
+stand-in for XGBoost), and report valid AP + missed-positive-ADJUSTED
+test AP (evaluation_functions.py:241-255). Published outcomes to
+compare (analyse_results.ipynb cell 21, lsh char_ngram=8 bands=2500):
+LogReg 0.913 valid / 0.886 adj-test AP (iterative), RF 0.887/0.867,
+Xg-Boost 0.912/0.888; naive-sampler test APs 0.888/0.855/0.884.
+Exact AP parity is not expected (Magellan auto-generates a different
+feature vector than this engine's north-star features); the comparison
+is that the same models at the same operating points land in the same
+band and preserve the reference's ordering/decisions.
+
 Run:  spark-submit --master local[8] --py-files dist/nem.zip \
           scripts/amazon_google_parity.py [out_md]
 """
@@ -69,6 +86,151 @@ def load_labels(spark, sampler: str, split: str):
                 F.col("id_g").alias("conv_id_b"))
         .dropDuplicates()
     )
+
+
+def load_side_features(spark, sampler: str, split: str, side: str):
+    """Full attribute load for the matcher stage: the reference keeps
+    title / description / price (model_magellan_ml.py:199-204;
+    manufacturer dropped there for missingness)."""
+    from pyspark.sql import functions as F
+
+    sfx = "amzn" if side == "lhs" else "g"
+    df = (
+        spark.read.option("header", True).option("multiLine", True)
+        .option("escape", '"')
+        .csv(f"{DATA}/amz_google_{sampler}_X_{split}_{side}.csv")
+    )
+    return df.select(
+        F.col(f"id_{sfx}").alias("conv_id"),
+        F.coalesce(F.col(f"title_{sfx}"), F.lit("")).alias("title"),
+        F.coalesce(F.col(f"description_{sfx}"), F.lit("")).alias("description"),
+        F.col(f"price_{sfx}").cast("double").alias("price"),
+    )
+
+
+MATCHER_FEATURES = [
+    "lev_ratio", "token_jaccard", "len_ratio", "jaro_winkler",
+    "tfidf_cosine", "d_lev_ratio", "d_token_jaccard", "d_tfidf_cosine",
+    "price_sim",
+]
+
+
+def featurize_candidates(candidates, lhs, rhs):
+    """Engine pairwise features per reference attribute: the full
+    north-star vector on title, (lev, token-jaccard, tf-idf cosine) on
+    description, and a relative price similarity — the engine analogue of
+    Magellan's per-attribute auto features (automatic_feature_gen,
+    model_magellan_ml.py:37-118). Missing features fill 0 like the
+    reference's fillna(0) (:281,340)."""
+    from pyspark.sql import functions as F
+
+    from neural_entity_matching_spark.operators.scoring import featurize_pairs
+
+    pair_key = ["conv_id_a", "conv_id_b"]
+    both = lhs.unionByName(rhs)
+    sig_title = both.select("conv_id", F.col("title").alias("sig_text"))
+    sig_desc = both.select("conv_id", F.col("description").alias("sig_text"))
+    f_title = featurize_pairs(
+        candidates.select(*pair_key), sig_title,
+        with_jaro_winkler=True, with_tfidf=True, broadcast_signatures=True,
+    )
+    f_desc = featurize_pairs(
+        candidates.select(*pair_key), sig_desc,
+        with_tfidf=True, broadcast_signatures=True,
+    ).select(
+        *pair_key,
+        F.col("lev_ratio").alias("d_lev_ratio"),
+        F.col("token_jaccard").alias("d_token_jaccard"),
+        F.col("tfidf_cosine").alias("d_tfidf_cosine"),
+    )
+    prices_a = lhs.select(F.col("conv_id").alias("conv_id_a"),
+                          F.col("price").alias("price_a"))
+    prices_b = rhs.select(F.col("conv_id").alias("conv_id_b"),
+                          F.col("price").alias("price_b"))
+    out = (
+        f_title.join(f_desc, pair_key)
+        .join(F.broadcast(prices_a), "conv_id_a", "left")
+        .join(F.broadcast(prices_b), "conv_id_b", "left")
+        .withColumn(
+            "price_sim",
+            F.coalesce(
+                F.lit(1.0)
+                - F.abs(F.col("price_a") - F.col("price_b"))
+                / F.greatest(F.col("price_a"), F.col("price_b"), F.lit(1.0)),
+                F.lit(0.0),
+            ),
+        )
+        .drop("price_a", "price_b")
+    )
+    return out.na.fill(0.0, MATCHER_FEATURES)
+
+
+def run_matcher_stage(spark, sampler: str, bands: int) -> list[dict]:
+    """EP2 back half at one LSH operating point: block each split,
+    featurize, label, fit LR/RF/GBT seed 0 with the reference's refit
+    protocol, report valid AP + adjusted test AP."""
+    from pyspark.sql import functions as F
+
+    from neural_entity_matching_spark.operators.blocking import lsh_block
+    from neural_entity_matching_spark.operators.evaluation import (
+        average_precision,
+    )
+    from neural_entity_matching_spark.operators.ml_scorer import (
+        fit_predict_with_refit,
+    )
+
+    pair_key = ["conv_id_a", "conv_id_b"]
+    labeled, truths, cand_info = {}, {}, {}
+    for split in ("train", "valid", "test"):
+        lhs = load_side_features(spark, sampler, split, "lhs").cache()
+        rhs = load_side_features(spark, sampler, split, "rhs").cache()
+        truth = load_labels(spark, sampler, split).cache()
+        cand, _ = lsh_block(
+            lhs.select("conv_id", F.col("title").alias("sig_text")),
+            num_hashes=10000, bands=bands, char_ngram=8, seed=42,
+            block_cap=500,
+            signatures_rhs=rhs.select("conv_id",
+                                      F.col("title").alias("sig_text")),
+        )
+        cand = cand.select(*pair_key).persist()
+        n_cand = cand.count()
+        feats = featurize_candidates(cand, lhs, rhs)
+        labeled[split] = (
+            feats.join(truth.withColumn("y", F.lit(1)), pair_key, "left")
+            .na.fill(0, ["y"])
+            .persist()
+        )
+        labeled[split].count()
+        truths[split] = truth
+        n_truth, rec = recall_against(cand, truth)
+        cand_info[split] = {"candidates": n_cand, "truth": n_truth,
+                            "recall": round(rec, 4)}
+    rows = []
+    for model in ("logistic", "random_forest", "gbt"):
+        _, va, te = fit_predict_with_refit(
+            labeled["train"], labeled["valid"], labeled["test"],
+            model=model, feature_cols=MATCHER_FEATURES, seed=0,
+        )
+        valid_ap = average_precision(va)
+        # missed-positive adjustment (evaluation_functions.py:241-255):
+        # blocker-missed TEST positives append with score 0 / y 1
+        missed = (
+            truths["test"]
+            .join(labeled["test"].select(*pair_key), pair_key, "left_anti")
+            .withColumn("score", F.lit(0.0)).withColumn("y", F.lit(1))
+        )
+        te_adj = te.select(*pair_key, "score", "y").unionByName(
+            missed.select(*pair_key, "score", "y"))
+        test_ap = average_precision(te_adj)
+        rows.append({
+            "sampler": sampler, "bands": bands, "model": model,
+            "valid_ap": round(valid_ap, 4),
+            "test_ap_adjusted": round(test_ap, 4),
+            "splits": cand_info,
+        })
+    for d in labeled.values():
+        d.unpersist()
+    return rows
 
 
 def recall_against(candidates, truth) -> tuple[int, float]:
@@ -155,13 +317,95 @@ def main() -> None:
         for df in (lhs, rhs, truth):
             df.unpersist()
 
-    print(json.dumps({"shapes": shapes, "results": results}, indent=1))
+    matcher_rows: list[dict] = []
+    for sampler in ("iterative", "naive"):
+        for bands in (2500, 5000):
+            matcher_rows += run_matcher_stage(spark, sampler, bands)
+
+    print(json.dumps({"shapes": shapes, "results": results,
+                      "matchers": matcher_rows}, indent=1))
     with open(out_md, "w") as f:
-        f.write(_report(shapes, results))
+        f.write(_report(shapes, results, matcher_rows))
     spark.stop()
 
 
-def _report(shapes, results) -> str:
+_PUBLISHED_AP = {
+    # analyse_results.ipynb cell 21 (valid AP, adjusted test AP) at
+    # lsh char_ngram=8 bands=2500; naive valid APs are low by design
+    # (the naive sampler's valid split is label-skewed — cell 16 ff.)
+    ("iterative", 2500, "logistic"): (0.913, 0.886),
+    ("iterative", 2500, "random_forest"): (0.887, 0.867),
+    ("iterative", 2500, "gbt"): (0.912, 0.888),
+    ("naive", 2500, "logistic"): (0.206, 0.888),
+    ("naive", 2500, "random_forest"): (0.212, 0.855),
+    ("naive", 2500, "gbt"): (0.248, 0.884),
+}
+
+_MODEL_LABEL = {"logistic": "LogReg", "random_forest": "RF",
+                "gbt": "GBT (XGBoost stand-in)"}
+
+
+def _matcher_report(matcher_rows) -> list[str]:
+    lines = [
+        "## Matcher stage (EP2 back half, model_magellan_ml.py:138-346)",
+        "",
+        "Per operating point: block train/valid/test with this engine's",
+        "two-table LSH, featurize candidates with the engine's",
+        "per-attribute pairwise vector (title: lev/token-jaccard/len/",
+        "Jaro-Winkler/TF-IDF-cosine; description: lev/token-jaccard/",
+        "TF-IDF-cosine; relative price similarity), labels left-joined",
+        "with 0-fill, LR/RF/GBT fit with seed 0 and the reference's",
+        "refit-on-train+valid protocol, test AP missed-positive-ADJUSTED",
+        "(evaluation_functions.py:241-255). Published numbers are",
+        "Magellan's auto-feature vector — exact AP parity is not",
+        "expected; the check is same band + same ordering.",
+        "",
+        "| sampler | bands | model | valid AP (pub) | adj test AP (pub) |",
+        "|---|---|---|---|---|",
+    ]
+    for r in matcher_rows:
+        pub = _PUBLISHED_AP.get((r["sampler"], r["bands"], r["model"]))
+        pv = f" ({pub[0]:.3f})" if pub else ""
+        pt = f" ({pub[1]:.3f})" if pub else ""
+        lines.append(
+            f"| {r['sampler']} | {r['bands']} "
+            f"| {_MODEL_LABEL[r['model']]} "
+            f"| {r['valid_ap']:.3f}{pv} | {r['test_ap_adjusted']:.3f}{pt} |")
+    lines += [
+        "",
+        "Blocking context per split (candidates / blocking recall):",
+        "",
+        "| sampler | bands | train | valid | test |",
+        "|---|---|---|---|---|",
+    ]
+    seen = set()
+    for r in matcher_rows:
+        key = (r["sampler"], r["bands"])
+        if key in seen:
+            continue
+        seen.add(key)
+        s = r["splits"]
+        lines.append(
+            f"| {r['sampler']} | {r['bands']} "
+            + " ".join(
+                f"| {s[sp]['candidates']} / {s[sp]['recall']}"
+                for sp in ("train", "valid", "test")) + " |")
+    lines += [
+        "",
+        "Footnote: this report counts **234** positive test pairs where",
+        "the reference notebook says 235. Verified: the shipped",
+        "`amz_google_*_y_test.csv` tables contain exactly 234 rows, all",
+        "y=1, zero duplicate (id_amzn, id_g) pairs — for BOTH samplers.",
+        "The notebook's 235 was computed from its 2017 results pickle",
+        "(`results/magellan_Jul_20_2017.p`, not shipped), so the",
+        "off-by-one predates the shipped CSVs; 234 is what the published",
+        "data supports.",
+        "",
+    ]
+    return lines
+
+
+def _report(shapes, results, matcher_rows=None) -> str:
     lines = [
         "# Amazon-Google parity run (reference's own data)",
         "",
@@ -215,6 +459,8 @@ def _report(shapes, results) -> str:
                 f"| {r['blocker']} | {r['candidates']} "
                 f"| {r['blocking_recall']} |")
         lines.append("")
+    if matcher_rows:
+        lines += _matcher_report(matcher_rows)
     return "\n".join(lines) + "\n"
 
 
