@@ -119,17 +119,22 @@ def run_batch(n_base: int, pairs: int, mode: str = "cluster") -> None:
             print(json.dumps(r), flush=True)
 
 
-def load_record(n_base: int, mode: str = "er") -> list[dict]:
+def load_record(n_base: int, mode: str = "er",
+                variant: str | None = None) -> list[dict]:
     """Rows for one (corpus size, workload mode). ``mode='er'`` is the
     threshold chain (rows without a mode tag predate ML mode); 'ml' is
     the trained-scorer chain — never mixed in one estimate (different
-    work, different 'pairs' invariant)."""
+    work, different 'pairs' invariant). ``variant`` selects one plan-flag
+    tag when the record holds several (estimators refuse mixed rows);
+    None keeps every row, which is only valid for single-variant
+    records."""
     if not os.path.exists(RECORD):
         return []
     with open(RECORD) as f:
         rows = [json.loads(line) for line in f if line.strip()]
     return [r for r in rows
-            if r["n_base"] == n_base and r.get("mode", "er") == mode]
+            if r["n_base"] == n_base and r.get("mode", "er") == mode
+            and (variant is None or r.get("variant") == variant)]
 
 
 def estimators(rows: list[dict]) -> dict:
@@ -254,8 +259,8 @@ def _fmt_paired_table(paired: list[dict]) -> str:
     return "\n".join(lines)
 
 
-def report(n_base: int) -> dict:
-    rows = load_record(n_base)
+def report(n_base: int, variant: str | None = None) -> dict:
+    rows = load_record(n_base, variant=variant)
     est = estimators(rows)
     cap = est["capability"]
 
@@ -406,6 +411,15 @@ terms.
   stage at or above 0.8 in clean phases (blocking 0.80, scoring 0.90,
   e2e capability 0.880); round 5 replaced the phase-fragile estimator,
   not the plan, so all round-4/round-5 walls are directly comparable.
+  Reserve lever, quantified but NOT forked mid-record: 93.05% of the
+  chain's candidate pairs decide on token-jaccard alone (measured at
+  n=20k: 4,768,416 of 5,124,559 skip the banded-levenshtein stage
+  because w_lev + w_jacc*jacc < threshold even at lev_ratio=1), so
+  splitting the scoring broadcast into a toks-only probe map (~0.3 KB/
+  entry) plus a string map probed only by the ~7% survivors would cut
+  ~75% of the per-probe broadcast bytes — the shared-DRAM-bus resource
+  the 4-executor level contends on. Held for a variant fork because
+  estimators refuse mixed-variant records (a fork resets the record).
 
 ## Round-4 measurement record: why the estimator had to change
 
@@ -479,7 +493,8 @@ def main() -> None:
                   mode="ml" if sys.argv[1] == "ml" else "cluster")
         return
     if len(sys.argv) > 1 and sys.argv[1] == "report":
-        report(int(sys.argv[2]) if len(sys.argv) > 2 else 80000)
+        report(int(sys.argv[2]) if len(sys.argv) > 2 else 80000,
+               variant=sys.argv[3] if len(sys.argv) > 3 else None)
         return
     # legacy interface: sizes + rounds -> run one batch per size + report
     sizes = ([int(x) for x in sys.argv[1].split(",")]

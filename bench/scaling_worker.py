@@ -140,8 +140,14 @@ def main() -> None:
         # binds when 4 cores probe at once, so this is one of the few
         # levers that moves the N->4N ratio rather than both levels.
         sigs_iid = sigs_iid.coalesce(1).sortWithinPartitions("conv_id")
+    # NEM_SPLIT_BROADCAST=1: probe a toks-only broadcast map for every
+    # pair and fetch the levenshtein string operands only for the ~7%
+    # of pairs whose jaccard score ceiling clears the threshold —
+    # bit-identical decisions (test_split_broadcast_bitexact), ~75%
+    # fewer broadcast bytes per probe on the shared DRAM bus
     scored = fast_threshold_score(
-        candidates, sigs_iid, threshold=0.55, broadcast_signatures=True
+        candidates, sigs_iid, threshold=0.55, broadcast_signatures=True,
+        split_broadcast=os.environ.get("NEM_SPLIT_BROADCAST", "0") == "1",
     ).persist()
     # materialize the cache FIRST: filtering is_match on the lazy plan lets
     # Catalyst push the predicate through the projection chain, substituting
@@ -171,12 +177,17 @@ def main() -> None:
         "pairs": n_scored, "matches": n_matches, "wall_sec": round(wall, 2),
         "pairs_per_sec": round(n_scored / wall, 1), **stages,
         # variant tag: the record spans rounds, so every row states which
-        # plan flags it ran under — estimators refuse to mix variants
+        # plan flags it ran under — estimators refuse to mix variants.
+        # Flags added after the record started (SPLIT_BROADCAST) append
+        # to the tag only when non-default, so pre-existing rows keep
+        # their tag and stay comparable with new default-flag runs.
         "variant": "|".join(
             f"{k}={os.environ.get(k, d)}"
             for k, d in (("NEM_SHUFFLE_FACTOR", "2"),
                          ("NEM_CLUSTER_BY_A", "1"),
-                         ("NEM_SORT_BROADCAST", "1"))),
+                         ("NEM_SORT_BROADCAST", "1"))
+        ) + ("|NEM_SPLIT_BROADCAST=1"
+             if os.environ.get("NEM_SPLIT_BROADCAST", "0") == "1" else ""),
     }))
     assert n_pairs == n_scored
 

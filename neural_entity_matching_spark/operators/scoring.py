@@ -219,6 +219,7 @@ def fast_threshold_score(
     w_jacc: float = 0.5,
     lev_prefix: int = 512,
     broadcast_signatures: bool = False,
+    split_broadcast: bool = False,
 ) -> DataFrame:
     """Decision-exact fused featurize+score using *thresholded* levenshtein.
 
@@ -262,7 +263,31 @@ def fast_threshold_score(
     full text makes the whole stage allocation-stall bound (measured: 32
     threads pinned at ~25% CPU each, i.e. 8 effective cores, identical
     wall at 8 and 32 threads).
+
+    ``split_broadcast`` (requires ``broadcast_signatures``): ship TWO
+    broadcast maps instead of one — a toks-only map (token array +
+    lengths, ~0.3 KB/entry) probed by EVERY pair, and the string map
+    (the levenshtein operand, ~1 KB/entry) probed ONLY by pairs whose
+    jaccard-derived score ceiling clears the threshold. Measured on the
+    synthetic corpus at n=20k, 93.05% of candidate pairs decide on
+    jaccard alone, so the split removes ~75% of the per-probe broadcast
+    bytes — the shared-DRAM-bus resource concurrent executors contend
+    on. Costs one internal persist of the o(pairs) jaccard stage (the
+    two branches must not recompute it; the InMemoryRelation also keeps
+    the is_match pushdown hazard away from the branch filters). Results
+    are bit-identical to the fused path: same float expressions, same
+    band, same decision comparison (asserted in test_fast_scorer).
     """
+    if split_broadcast:
+        if not broadcast_signatures:
+            raise ValueError(
+                "split_broadcast requires broadcast_signatures=True "
+                "(the split exists to shrink the broadcast probe payload)"
+            )
+        return _fast_threshold_score_split(
+            candidates, signatures, threshold=threshold, w_lev=w_lev,
+            w_jacc=w_jacc, lev_prefix=lev_prefix,
+        )
     sig = signatures.select(
         "conv_id",
         (F.substring("sig_text", 1, lev_prefix) if lev_prefix is not None
@@ -352,6 +377,130 @@ def fast_threshold_score(
               "_inter", "_maxlen", "_req", "_k", "_smax", "_d")
     )
     return out
+
+
+def _fast_threshold_score_split(
+    candidates: DataFrame,
+    signatures: DataFrame,
+    threshold: float,
+    w_lev: float,
+    w_jacc: float,
+    lev_prefix: int,
+) -> DataFrame:
+    """Split-broadcast body of fast_threshold_score — see its docstring.
+
+    Every expression below is copied verbatim from the fused path so the
+    reconstructed scores and decisions stay bit-identical; the only
+    structural change is WHICH broadcast relation each branch probes.
+    ``_maxlen`` (the fused path's ``greatest(length(_a), length(_b), 1)``)
+    is derived without the strings as ``least(sig_len, lev_prefix)`` per
+    side — exact because ``length(substring(s, 1, p)) == least(length(s),
+    p)`` in characters, the unit both functions use.
+    """
+    toks_map = signatures.select(
+        "conv_id",
+        F.length("sig_text").alias("sig_len"),
+        F.expr(
+            "array_distinct(transform(split(trim(sig_text), '\\\\s+'), x -> xxhash64(x)))"
+        ).alias("toks"),
+    ).withColumn("n_toks", F.size("toks"))
+    str_map = signatures.select(
+        "conv_id",
+        (F.substring("sig_text", 1, lev_prefix) if lev_prefix is not None
+         else F.col("sig_text")).alias("sig_lev"),
+    )
+    btoks = F.broadcast(toks_map)
+    bstr = F.broadcast(str_map)
+    cand_cols = list(candidates.columns)  # preserved like the fused path
+
+    def _lev_len(side: str):
+        # length of the levenshtein operand without fetching it
+        col = F.col(f"len_{side}")
+        return F.least(col, F.lit(lev_prefix)) if lev_prefix is not None else col
+
+    base = (
+        candidates
+        .join(btoks.select(F.col("conv_id").alias("conv_id_a"),
+                           F.col("sig_len").alias("len_a"),
+                           F.col("toks").alias("toks_a"),
+                           F.col("n_toks").alias("nt_a")), "conv_id_a")
+        .join(btoks.select(F.col("conv_id").alias("conv_id_b"),
+                           F.col("sig_len").alias("len_b"),
+                           F.col("toks").alias("toks_b"),
+                           F.col("n_toks").alias("nt_b")), "conv_id_b")
+        .withColumn("_inter", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
+            "token_jaccard",
+            F.when(F.col("nt_a") + F.col("nt_b") - F.col("_inter") > 0,
+                   F.col("_inter") / (F.col("nt_a") + F.col("nt_b") - F.col("_inter")))
+             .otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "len_ratio",
+            F.least("len_a", "len_b") / F.greatest("len_a", "len_b", F.lit(1)),
+        )
+        .withColumn("_maxlen", F.greatest(_lev_len("a"), _lev_len("b"), F.lit(1)))
+        .withColumn(
+            "_req",
+            (F.lit(threshold) - F.lit(w_jacc) * F.col("token_jaccard")) / F.lit(w_lev),
+        )
+        .withColumn(
+            "_k",
+            F.floor((F.lit(1.0) - F.col("_req")) * F.col("_maxlen")).cast("int")
+            + F.lit(1),
+        )
+        .withColumn(
+            "_smax",
+            F.lit(w_lev) * F.lit(100.0) / 100.0
+            + F.lit(w_jacc) * F.col("token_jaccard"),
+        )
+        .select(*cand_cols, "token_jaccard", "len_ratio",
+                "_maxlen", "_req", "_k", "_smax")
+        # both branches read this once-computed stage; without the persist
+        # each branch would re-run the toks joins AND Catalyst could push
+        # branch predicates into the jaccard projection
+        .persist()
+    )
+    skip = (
+        base.filter(F.col("_smax") < F.lit(threshold))
+        .withColumn("_d", F.lit(-1).cast("int"))
+    )
+    survivors = (
+        base.filter(~(F.col("_smax") < F.lit(threshold)))
+        .join(bstr.select(F.col("conv_id").alias("conv_id_a"),
+                          F.col("sig_lev").alias("_a")), "conv_id_a")
+        .join(bstr.select(F.col("conv_id").alias("conv_id_b"),
+                          F.col("sig_lev").alias("_b")), "conv_id_b")
+        .withColumn("_d", F.expr("levenshtein(_a, _b, greatest(_k, 1))"))
+        .drop("_a", "_b")
+    )
+    return (
+        skip.unionByName(survivors)
+        .withColumn(
+            "lev_ratio",
+            F.when(F.col("_d") >= 0,
+                   100.0 * (1.0 - F.col("_d") / F.col("_maxlen")))
+             .otherwise(
+                 F.greatest(
+                     F.least(
+                         100.0 * (1.0 - (F.col("_k") + 1) / F.col("_maxlen")),
+                         100.0 * F.col("_req") - F.lit(1e-6),
+                     ),
+                     F.lit(0.0),
+                 )
+             ),
+        )
+        .withColumn(
+            "score",
+            F.lit(w_lev) * F.col("lev_ratio") / 100.0
+            + F.lit(w_jacc) * F.col("token_jaccard"),
+        )
+        .withColumn(
+            "is_match",
+            ((F.col("_d") >= 0) & (F.col("score") >= F.lit(threshold))).cast("int"),
+        )
+        .drop("_maxlen", "_req", "_k", "_smax", "_d")
+    )
 
 
 def attach_labels(candidates: DataFrame, labeled_pairs: DataFrame) -> DataFrame:

@@ -39,6 +39,45 @@ def test_fast_scorer_decision_equivalence(fixture_small):
     assert n_match > 0
 
 
+def test_split_broadcast_bitexact(fixture_small):
+    """split_broadcast=True (toks-only probe map + string map probed only
+    by jaccard survivors) must return bit-identical rows to the fused
+    single-broadcast path: same pairs, same decisions, same score AND
+    lev_ratio floats (the expressions are copied verbatim, so even the
+    sub-threshold upper bounds must agree exactly)."""
+    transcripts, _, _ = fixture_small
+    sigs = build_signatures(transcripts).cache()
+    cands, _ = lsh_block(sigs, block_cap=35, **LSH)
+    cands = cands.cache()
+
+    fused = fast_threshold_score(
+        cands, sigs, threshold=0.55, broadcast_signatures=True).cache()
+    split = fast_threshold_score(
+        cands, sigs, threshold=0.55, broadcast_signatures=True,
+        split_broadcast=True).cache()
+
+    assert sorted(fused.columns) == sorted(split.columns)
+    key = ["conv_id_a", "conv_id_b"]
+    cols = ["is_match", "score", "lev_ratio", "token_jaccard", "len_ratio"]
+    fu = {tuple(r[k] for k in key): tuple(r[c] for c in cols)
+          for r in fused.collect()}
+    sp = {tuple(r[k] for k in key): tuple(r[c] for c in cols)
+          for r in split.collect()}
+    assert fu == sp
+    assert sum(v[0] for v in fu.values()) > 0  # non-vacuous: has matches
+    assert any(v[0] == 0 for v in fu.values())  # and non-matches
+
+
+def test_split_broadcast_requires_broadcast(fixture_small):
+    import pytest
+
+    transcripts, _, _ = fixture_small
+    sigs = build_signatures(transcripts)
+    cands, _ = lsh_block(sigs, block_cap=35, **LSH)
+    with pytest.raises(ValueError, match="split_broadcast"):
+        fast_threshold_score(cands, sigs, split_broadcast=True)
+
+
 def test_fast_scorer_threshold_boundary_bitexact(spark):
     """Stress the score == threshold boundary: random token strings scored
     at many thresholds; is_match must equal the exact path's float
