@@ -84,6 +84,13 @@ class PipelineConfig:
     # few-core executors; measured a net loss on many-core hosts
     # (see compute_scored)
     cluster_pairs_by_a: bool = False
+    # split the scoring broadcast into a toks-only probe map plus a
+    # string map probed only by jaccard survivors — bit-identical
+    # decisions/scores, ~75% fewer broadcast bytes per probe (93% of
+    # pairs never fetch the string); requires broadcast_signatures.
+    # Physical knob: excluded from stage fingerprints like the other
+    # broadcast/sort toggles, so flipping it never invalidates snapshots
+    split_broadcast: bool = False
     # exact_scores=False uses the banded-levenshtein cascade: identical
     # match decisions, exact scores on matches, upper-bounded scores on
     # non-matches, ~order-of-magnitude less edit-distance work
@@ -281,6 +288,7 @@ def run_pipeline(
             cand, sig_res.df, threshold=cfg.threshold,
             w_lev=cfg.w_lev, w_jacc=cfg.w_jacc,
             broadcast_signatures=cfg.broadcast_signatures,
+            split_broadcast=cfg.split_broadcast,
         )
 
     # fold the label-set identity into the scored fingerprint for trained
