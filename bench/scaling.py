@@ -224,7 +224,26 @@ def _ml_section(n_base: int) -> str:
     rows = load_record(n_base, mode="ml")
     if not rows:
         return ""
-    est = estimators(rows)
+    # newest ML variant headlines (same rule as report); superseded ML
+    # rows stay in the jsonl — ml-logistic v1's E1/E4 rows disagree on
+    # the sampled pair set (iid-keyed sampling bug, fixed in v2) and are
+    # deliberately not estimable
+    newest = max(rows, key=lambda r: r["ts"])["variant"]
+    rows = [r for r in rows if r["variant"] == newest]
+    if not ({1, 4} <= {r["executors"] for r in rows}):
+        return ""
+    try:
+        est = estimators(rows)
+    except AssertionError:
+        # the byte-identical-work invariant failed inside one variant —
+        # surface it instead of estimating garbage (ml-logistic v1: the
+        # iid-keyed sample differed across executor counts)
+        return (f"## ML-matcher chain (mode=ml, n_base={n_base})\n\n"
+                f"Rows under ``{newest}`` violate the byte-identical-work "
+                "invariant (the sampled pair set differed across executor "
+                "counts) and are not estimable; kept in the record as the "
+                "bug's documentation. Re-run ``python bench/scaling.py ml`` "
+                "under the fixed (v2, real-id-keyed) sampler.\n\n")
     cap = est["capability"]
     se = {k: (f"{v:.3f}" if v is not None else "n/a")
           for k, v in cap["stage_eff"].items()}
@@ -277,6 +296,29 @@ def report(n_base: int, variant: str | None = None) -> dict:
     others = [r for r in all_rows if r not in rows]
     est = estimators(rows)
     cap = est["capability"]
+
+    # clean-phase projection: today's per-stage E1 floors scaled by the
+    # round-4 full-day CLEAN-phase stage efficiencies (blocking 0.80,
+    # scoring 0.90 — measured, committed in the round-4 table below).
+    # A projection, not a measurement: what the headline reads when the
+    # record catches a 4-executor window as clean as round 4 delivered.
+    e1_rows = [r for r in rows if r["executors"] == 1]
+    proj_section = ""
+    if e1_rows and "blocking_sec" in e1_rows[0]:
+        min_b1 = min(r["blocking_sec"] for r in e1_rows)
+        min_s1 = min(r["scoring_sec"] for r in e1_rows)
+        proj_t4 = min_b1 / (4 * 0.80) + min_s1 / (4 * 0.90)
+        proj_section = f"""
+Projection (NOT a measurement, stated for convergence context): at the
+round-4 clean-phase stage efficiencies — blocking 0.80, scoring 0.90,
+both measured on this plan's unchanged blocking stage and the fused
+scorer's stronger-contention case — this record's 1-executor stage
+floors (blocking {min_b1:.1f} s, scoring {min_s1:.1f} s) put a
+clean-window T4 at {proj_t4:.1f} s and the headline at
+**{cap['t1'] / (4 * proj_t4):.3f}**; that is the number this record
+reads once one 4-executor batch lands in a window as clean as round
+4's day provided repeatedly.
+"""
 
     other_section = ""
     if others:
@@ -359,6 +401,23 @@ efficiencies: blocking {cap['stage_eff']['blocking_sec']:.3f}, scoring
 Phase-matched paired ratios (each pair back-to-back in one window):
 
 {_fmt_paired_table(est['paired'])}
+
+### What the measured-to-date number reflects
+
+The capability estimator is an accumulating minimum: it converges to
+the plan's clean-phase ratio as the append-only record (continued
+across rounds) samples enough host phases at BOTH levels. On the day
+this record started, the host never delivered a clean multi-process
+window: every 4-executor leg of every batch (both plan variants,
+13:00-21:40 UTC) carried a degraded-bus signature — blocking legs
+58-171 s against the 31-47 s clean range of the round-4 table below,
+scoring legs >= 228 s — while the 1-executor legs kept hitting fresh
+floors (single-stream bandwidth recovers first; the bracketing probes
+read clean while 4-process capacity stays capped, which is why the
+probe column alone cannot gate batches). The phase-robust design keeps
+every one of those runs in the record; the estimate moves only when
+the host moves.
+{proj_section}
 
 All headline-variant runs (append-only record,
 ``BENCH/scaling_runs.jsonl``; probe = host DRAM-streaming passes/sec at

@@ -192,11 +192,18 @@ def main() -> None:
     assert n_pairs == n_scored
 
 
-# deterministic 1/ML_SAMPLE_MOD of the packed candidate set: xxhash64 of
-# the packed pair long decorrelates the keep set from iid structure, and
-# the SAME pairs are kept at every executor count (byte-identical work).
-# 137 puts the 1x1-core featurize+fit+score wall near the ER chain's
-# scale (~200k exact-feature pairs) without running for an hour.
+# deterministic 1/ML_SAMPLE_MOD of the candidate set, hashed on the
+# CANONICALIZED REAL id pair — NOT on the packed iid long: dense iids
+# depend on spark.sql.shuffle.partitions (the dense_id_mapping bucket
+# count), which this worker sets to cores x factor, so an iid-keyed
+# sample silently selects a DIFFERENT subset at each executor count
+# (caught by the record's byte-identical-work assert: 201,065 vs
+# 200,487 pairs at E1 vs E4 under tag ml-logistic; those two rows stay
+# in the record as the bug's documentation and the tag was bumped).
+# Real ids are level-independent, so the same pairs are kept
+# everywhere. 137 puts the 1x1-core featurize+fit+score wall near the
+# ER chain's scale (~200k exact-feature pairs) without running for an
+# hour.
 ML_SAMPLE_MOD = int(os.environ.get("NEM_ML_SAMPLE_MOD", "137"))
 
 
@@ -228,8 +235,7 @@ def _run_ml(spark, sigs, labeled, *, executors: int, cores: int,
     packed = bstats.extra["packed_pairs"]
     mapping = F.broadcast(bstats.extra["id_mapping"])
     cand = (
-        packed.filter(F.pmod(F.xxhash64("pk"), F.lit(ML_SAMPLE_MOD)) == 0)
-        .select(
+        packed.select(
             F.floor(F.col("pk") / F.lit(1 << 32)).cast("long").alias("iid_a"),
             F.pmod("pk", F.lit(1 << 32)).alias("iid_b"),
         )
@@ -241,6 +247,10 @@ def _run_ml(spark, sigs, labeled, *, executors: int, cores: int,
         # id sort order): label attachment expects least/greatest pairs
         .select(F.least("_ida", "_idb").alias("conv_id_a"),
                 F.greatest("_ida", "_idb").alias("conv_id_b"))
+        # sample AFTER decode+canonicalization so the keep set is a pure
+        # function of real ids — identical at every executor count
+        .filter(F.pmod(F.xxhash64("conv_id_a", "conv_id_b"),
+                       F.lit(ML_SAMPLE_MOD)) == 0)
         .repartition(cores * int(os.environ.get("NEM_SHUFFLE_FACTOR", "2")))
         .persist()
     )
@@ -269,7 +279,9 @@ def _run_ml(spark, sigs, labeled, *, executors: int, cores: int,
         "n_base": n_base, "pairs": n_scored, "matches": n_matches,
         "wall_sec": round(wall, 2),
         "pairs_per_sec": round(n_scored / wall, 1), **stages,
-        "variant": f"ml-logistic|NEM_ML_SAMPLE_MOD={ML_SAMPLE_MOD}",
+        # v2: sample keyed on real-id pairs (level-independent); the two
+        # ml-logistic rows keep the record of the iid-keyed sampling bug
+        "variant": f"ml-logistic-v2|NEM_ML_SAMPLE_MOD={ML_SAMPLE_MOD}",
     }))
     assert n_scored == n_cand
 
