@@ -255,8 +255,9 @@ The trained-scorer path — exact featurize (73% of the sf0.1 ML wall) ->
 logistic fit (seed 0) -> model scoring — measured under the same
 N- vs 4N-executor discipline as the threshold chain
 (``python bench/scaling.py ml {n_base} <pairs>``). Work per run:
-{est['pairs']:,} candidate pairs (deterministic xxhash64 1/137 sample of
-the packed LSH candidate set — byte-identical across levels),
+{est['pairs']:,} candidate pairs (deterministic xxhash64 1/137 sample
+keyed on the canonicalized REAL id pair — level-independent by
+construction and asserted byte-identical across levels),
 {est['matches']:,} model matches. Blocking sits outside the timed
 section (its scaling is the headline measurement above).
 
@@ -407,15 +408,18 @@ Phase-matched paired ratios (each pair back-to-back in one window):
 The capability estimator is an accumulating minimum: it converges to
 the plan's clean-phase ratio as the append-only record (continued
 across rounds) samples enough host phases at BOTH levels. On the day
-this record started, the host never delivered a clean multi-process
-window: every 4-executor leg of every batch (both plan variants,
-13:00-21:40 UTC) carried a degraded-bus signature — blocking legs
-58-171 s against the 31-47 s clean range of the round-4 table below,
-scoring legs >= 228 s — while the 1-executor legs kept hitting fresh
-floors (single-stream bandwidth recovers first; the bracketing probes
-read clean while 4-process capacity stays capped, which is why the
-probe column alone cannot gate batches). The phase-robust design keeps
-every one of those runs in the record; the estimate moves only when
+this record started, the host delivered exactly ONE near-clean
+4-executor window in ~10 hours (22:28 UTC: blocking 76.8 s, scoring
+196.3 s — the run that set min T4); every other 4-executor leg of
+every batch, both plan variants, 13:00-23:07 UTC, carried a
+degraded-bus signature — blocking legs 58-180 s against the 31-47 s
+clean range of the round-4 table below, scoring legs 228-497 s —
+while the 1-executor legs kept hitting fresh floors (single-stream
+bandwidth recovers first; the bracketing probes read clean while
+4-process capacity stays capped, which is why the probe column alone
+cannot gate batches). Even that best window was not clean: its
+blocking leg ran ~1.8x the round-4 clean floor. The phase-robust
+design keeps every run in the record; the estimate moves only when
 the host moves.
 {proj_section}
 
