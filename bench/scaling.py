@@ -228,8 +228,8 @@ def _ml_section(n_base: int) -> str:
     # rows stay in the jsonl — ml-logistic v1's E1/E4 rows disagree on
     # the sampled pair set (iid-keyed sampling bug, fixed in v2) and are
     # deliberately not estimable
-    newest = max(rows, key=lambda r: r["ts"])["variant"]
-    rows = [r for r in rows if r["variant"] == newest]
+    newest = max(rows, key=lambda r: r["ts"]).get("variant")
+    rows = [r for r in rows if r.get("variant") == newest]
     if not ({1, 4} <= {r["executors"] for r in rows}):
         return ""
     try:
@@ -286,15 +286,32 @@ def _fmt_paired_table(paired: list[dict]) -> str:
     return "\n".join(lines)
 
 
+def _estimable(rows: list[dict]) -> bool:
+    """estimators() needs at least one run at BOTH executor levels."""
+    return bool(rows) and {1, 4} <= {r["executors"] for r in rows}
+
+
 def report(n_base: int, variant: str | None = None) -> dict:
     all_rows = load_record(n_base)
     if variant is None and len({r.get("variant") for r in all_rows}) > 1:
-        # headline the variant of the newest run (the current plan);
-        # older-variant rows stay in the report as same-day context
-        variant = max(all_rows, key=lambda r: r["ts"])["variant"]
+        # headline the variant of the newest ESTIMABLE run set (the
+        # current plan); a variant whose record so far has runs at only
+        # one executor level (report invoked mid-batch, after the first
+        # E1 leg) is skipped rather than crashed on, and untagged
+        # (pre-variant) rows group under variant=None via .get
+        for r in sorted(all_rows, key=lambda r: r["ts"], reverse=True):
+            v = r.get("variant")
+            if _estimable([x for x in all_rows if x.get("variant") == v]):
+                variant = v
+                break
     rows = [r for r in all_rows
             if variant is None or r.get("variant") == variant]
     others = [r for r in all_rows if r not in rows]
+    if not _estimable(rows):
+        raise SystemExit(
+            f"no variant in the n_base={n_base} record has runs at both "
+            "executor levels yet — append the batch's other leg "
+            "(python bench/scaling.py run) before reporting")
     est = estimators(rows)
     cap = est["capability"]
 

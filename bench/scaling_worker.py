@@ -145,9 +145,11 @@ def main() -> None:
     # of pairs whose jaccard score ceiling clears the threshold —
     # bit-identical decisions (test_split_broadcast_bitexact), ~75%
     # fewer broadcast bytes per probe on the shared DRAM bus
+    split_handles = []
     scored = fast_threshold_score(
         candidates, sigs_iid, threshold=0.55, broadcast_signatures=True,
         split_broadcast=os.environ.get("NEM_SPLIT_BROADCAST", "0") == "1",
+        persist_handles=split_handles,
     ).persist()
     # materialize the cache FIRST: filtering is_match on the lazy plan lets
     # Catalyst push the predicate through the projection chain, substituting
@@ -169,6 +171,8 @@ def main() -> None:
                 "score")
     )
     n_matches = matches.count()
+    for h in split_handles:
+        h.unpersist()
     stages["scoring_sec"] = round(time.monotonic() - t1, 2)
     wall = time.monotonic() - t0
     spark.stop()

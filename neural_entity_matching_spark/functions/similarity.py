@@ -153,13 +153,37 @@ def _lcs_len_batch(a_mat, a_len, b_mat, b_len) -> np.ndarray:
     return prev[np.arange(B), b_len].astype(np.int64)
 
 
-def _chunk_by_length(key_lens: np.ndarray, chunk: int = 2048):
+def _chunk_by_length(key_lens: np.ndarray, widths: np.ndarray | None = None,
+                     chunk: int = 2048, cell_budget: int = 1 << 22):
     """Yield index blocks sorted by ``key_lens`` so each chunk's DP loop
     bound is its OWN max length — one long outlier no longer forces
-    full-width iteration over the entire Arrow batch."""
+    full-width iteration over the entire Arrow batch.
+
+    ``widths`` (default ``key_lens``) is each row's widest encoded-matrix
+    column count; a chunk is closed early once rows x max(width) would
+    exceed ``cell_budget`` cells. Every per-chunk allocation is a
+    (rows x width) uint32/bool matrix, so the budget bounds peak memory
+    per Python worker regardless of outlier string length — one
+    pathological row degrades to its own 1 x width chunk instead of
+    inflating EVERY row's matrix to its width (2048 rows x a 1 MB string
+    would be ~8 GB under a fixed row count). At the typical lev_prefix
+    width (512) the budget still admits the full 2048-row chunk, so the
+    common case is unchanged."""
     order = np.argsort(key_lens, kind="stable")
-    for s in range(0, len(order), chunk):
-        yield order[s:s + chunk]
+    if widths is None:
+        widths = key_lens
+    block: list[int] = []
+    wmax = 1
+    for i in order:
+        w = max(wmax, int(widths[i]), 1)
+        if block and ((len(block) + 1) * w > cell_budget
+                      or len(block) >= chunk):
+            yield np.asarray(block)
+            block, w = [], max(int(widths[i]), 1)
+        block.append(int(i))
+        wmax = w
+    if block:
+        yield np.asarray(block)
 
 
 def _indel_distance_batch(a_strs, b_strs) -> np.ndarray:
@@ -169,7 +193,8 @@ def _indel_distance_batch(a_strs, b_strs) -> np.ndarray:
     lens_a = np.fromiter((len(s) for s in a_strs), np.int64, len(a_strs))
     lens_b = np.fromiter((len(s) for s in b_strs), np.int64, len(b_strs))
     out = np.zeros(len(a_strs), dtype=np.int64)
-    for idx in _chunk_by_length(np.minimum(lens_a, lens_b)):
+    for idx in _chunk_by_length(np.minimum(lens_a, lens_b),
+                                widths=np.maximum(lens_a, lens_b)):
         a_mat, a_len = _encode_batch(a_strs[idx])
         b_mat, b_len = _encode_batch(b_strs[idx])
         if a_mat.shape[1] > b_mat.shape[1]:
@@ -187,8 +212,9 @@ def _jaro_winkler_batch(a_strs, b_strs, p: float = 0.1,
     chunk per s1 position; transpositions are counted by compacting both
     matched-character sequences with a cumsum scatter."""
     lens_a = np.fromiter((len(s) for s in a_strs), np.int64, len(a_strs))
+    lens_b = np.fromiter((len(s) for s in b_strs), np.int64, len(b_strs))
     out = np.zeros(len(a_strs), dtype=np.float64)
-    for idx in _chunk_by_length(lens_a):
+    for idx in _chunk_by_length(lens_a, widths=np.maximum(lens_a, lens_b)):
         out[idx] = _jaro_winkler_chunk(a_strs[idx], b_strs[idx],
                                        p=p, max_prefix=max_prefix)
     return out

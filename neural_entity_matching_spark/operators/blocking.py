@@ -722,6 +722,10 @@ def packed_two_table_pairs_from_block_keys(
             mapping.unpersist()
             for df in release:
                 df.unpersist()
+            for _, prior_mapping in sides.values():
+                # a side already built (lhs when rhs trips the guard)
+                # persisted its dense-id mapping too — release it
+                prior_mapping.unpersist()
             raise ValueError(
                 f"{n_ids} distinct {tag} ids exceed the int32 packing "
                 "range; use two_table_pairs_from_block_keys instead")

@@ -220,6 +220,7 @@ def fast_threshold_score(
     lev_prefix: int = 512,
     broadcast_signatures: bool = False,
     split_broadcast: bool = False,
+    persist_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Decision-exact fused featurize+score using *thresholded* levenshtein.
 
@@ -277,6 +278,14 @@ def fast_threshold_score(
     the is_match pushdown hazard away from the branch filters). Results
     are bit-identical to the fused path: same float expressions, same
     band, same decision comparison (asserted in test_fast_scorer).
+
+    ``persist_handles``: the split path persists its jaccard stage
+    internally; pass a list and the handle is appended so the CALLER can
+    unpersist once the scored output is materialized (the same handle
+    discipline the blocking operators use via ``stats.extra``). Without
+    it each split-scoring call in a long-lived session leaks one cached
+    InMemoryRelation (MEMORY_AND_DISK spill blocks accumulate until
+    session end).
     """
     if split_broadcast:
         if not broadcast_signatures:
@@ -287,6 +296,7 @@ def fast_threshold_score(
         return _fast_threshold_score_split(
             candidates, signatures, threshold=threshold, w_lev=w_lev,
             w_jacc=w_jacc, lev_prefix=lev_prefix,
+            persist_handles=persist_handles,
         )
     sig = signatures.select(
         "conv_id",
@@ -386,6 +396,7 @@ def _fast_threshold_score_split(
     w_lev: float,
     w_jacc: float,
     lev_prefix: int,
+    persist_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Split-broadcast body of fast_threshold_score — see its docstring.
 
@@ -461,6 +472,8 @@ def _fast_threshold_score_split(
         # branch predicates into the jaccard projection
         .persist()
     )
+    if persist_handles is not None:
+        persist_handles.append(base)
     skip = (
         base.filter(F.col("_smax") < F.lit(threshold))
         .withColumn("_d", F.lit(-1).cast("int"))

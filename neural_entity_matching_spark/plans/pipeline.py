@@ -289,6 +289,9 @@ def run_pipeline(
             w_lev=cfg.w_lev, w_jacc=cfg.w_jacc,
             broadcast_signatures=cfg.broadcast_signatures,
             split_broadcast=cfg.split_broadcast,
+            # the split path's internal jaccard-stage persist is released
+            # with the featurize handle after the scored snapshot lands
+            persist_handles=feat_handle,
         )
 
     # fold the label-set identity into the scored fingerprint for trained

@@ -52,9 +52,13 @@ def test_split_broadcast_bitexact(fixture_small):
 
     fused = fast_threshold_score(
         cands, sigs, threshold=0.55, broadcast_signatures=True).cache()
+    handles = []
     split = fast_threshold_score(
         cands, sigs, threshold=0.55, broadcast_signatures=True,
-        split_broadcast=True).cache()
+        split_broadcast=True, persist_handles=handles).cache()
+    # the split path's internal jaccard-stage persist is handed back for
+    # caller cleanup — exactly one handle, cached until released
+    assert len(handles) == 1 and handles[0].storageLevel.useMemory
 
     assert sorted(fused.columns) == sorted(split.columns)
     key = ["conv_id_a", "conv_id_b"]
@@ -66,6 +70,8 @@ def test_split_broadcast_bitexact(fixture_small):
     assert fu == sp
     assert sum(v[0] for v in fu.values()) > 0  # non-vacuous: has matches
     assert any(v[0] == 0 for v in fu.values())  # and non-matches
+    for h in handles:
+        h.unpersist()
 
 
 def test_split_broadcast_requires_broadcast(fixture_small):

@@ -47,6 +47,35 @@ def test_batch_kernels_mixed_length_chunks():
         assert abs(jb[i] - _jaro_winkler(a[i], b[i])) < 1e-12
 
 
+def test_chunker_cell_budget_bounds_matrix_width():
+    """_chunk_by_length must (a) yield every index exactly once and
+    (b) keep rows x max(width) under the cell budget for every chunk, so
+    one pathological long string on the UNBOUNDED side (indel chunks by
+    min length, JW by a-side length) cannot inflate a whole chunk's
+    encode matrices to outlier width — the executor-OOM regression the
+    fixed 2048-row chunking had (2048 rows x a 1 MB string ~ 8 GB)."""
+    from neural_entity_matching_spark.functions.similarity import (
+        _chunk_by_length,
+    )
+
+    rng = np.random.default_rng(0)
+    key = rng.integers(0, 500, 5000)
+    widths = key.copy()
+    widths[7] = 3_000_000  # one 3M-char outlier on the unbounded side
+    budget = 1 << 22
+    seen = []
+    for blk in _chunk_by_length(key, widths=widths, cell_budget=budget):
+        w = max(int(widths[i]) for i in blk)
+        assert len(blk) * w <= budget or len(blk) == 1
+        assert len(blk) <= 2048
+        seen.extend(blk.tolist())
+    assert sorted(seen) == list(range(5000))
+    # outlier rides alone; results still correct end-to-end
+    a = np.array(["ab" * 4000, "xy"], dtype=object)
+    b = np.array(["ab", "xy"], dtype=object)
+    assert _indel_distance_batch(a, b).tolist() == [7998, 0]
+
+
 @settings(max_examples=200, deadline=None)
 @given(texts, texts)
 def test_indel_symmetry_and_bounds(a, b):
