@@ -262,9 +262,18 @@ def _run_ml(spark, sigs, labeled, *, executors: int, cores: int,
     labeled = labeled.persist()
     labeled.count()
 
+    # NEM_FEAT_BAND=<b in (0,1]>: banded lev_ratio (exact within the
+    # band, deterministic upper bound beyond) + hashed once-per-signature
+    # tokenization — the round-5-verdict featurize treatment. Semantic
+    # feature change (documented in featurize_pairs), so it forks the
+    # variant tag; gates asserted in test_ml_scorer.
+    feat_band = os.environ.get("NEM_FEAT_BAND")
+    feat_kw = ({"lev_band": float(feat_band), "hashed_tokens": True}
+               if feat_band else {})
     stages = {}
     t0 = time.monotonic()
-    feats = featurize_pairs(cand, sigs, broadcast_signatures=True).persist()
+    feats = featurize_pairs(cand, sigs, broadcast_signatures=True,
+                            **feat_kw).persist()
     feats.count()
     stages["featurize_sec"] = round(time.monotonic() - t0, 2)
     t1 = time.monotonic()
@@ -284,8 +293,13 @@ def _run_ml(spark, sigs, labeled, *, executors: int, cores: int,
         "wall_sec": round(wall, 2),
         "pairs_per_sec": round(n_scored / wall, 1), **stages,
         # v2: sample keyed on real-id pairs (level-independent); the two
-        # ml-logistic rows keep the record of the iid-keyed sampling bug
-        "variant": f"ml-logistic-v2|NEM_ML_SAMPLE_MOD={ML_SAMPLE_MOD}",
+        # ml-logistic rows keep the record of the iid-keyed sampling bug.
+        # v3 = v2 + banded/hashed featurize (NEM_FEAT_BAND) — a semantic
+        # feature change, so it forks the tag; matches may differ from v2
+        "variant": (
+            f"ml-logistic-v3|NEM_ML_SAMPLE_MOD={ML_SAMPLE_MOD}"
+            f"|NEM_FEAT_BAND={feat_band}" if feat_band
+            else f"ml-logistic-v2|NEM_ML_SAMPLE_MOD={ML_SAMPLE_MOD}"),
     }))
     assert n_scored == n_cand
 

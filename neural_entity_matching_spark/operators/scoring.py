@@ -114,6 +114,8 @@ def featurize_pairs(
     tfidf_n_docs: int | None = None,
     with_embedding: bool = False,
     embedding_dim: int = 64,
+    lev_band: float | None = None,
+    hashed_tokens: bool = False,
 ) -> DataFrame:
     """Attach (sig_a, sig_b) payloads and compute pair features.
 
@@ -141,8 +143,40 @@ def featurize_pairs(
     Scale note: both payload joins shuffle on conv_id — the same key the
     signature table is already hash-partitioned on, so AQE keeps them
     cheap; candidates is the smaller post-blocking side.
+
+    ``lev_band``: opt-in BANDED edit distance for the ML feature table
+    (the exact O(n*m) levenshtein is ~95% of the trained-matcher wall —
+    400 s at 1x1-core on 201k pairs). With band b in (0, 1],
+    ``levenshtein(a, b, k)`` runs Spark's O(k*n) banded search with
+    k = floor(b * maxlen): ``lev_ratio`` is EXACT (bit-identical
+    expression to the default path) for every pair whose true edit
+    distance is within the band — i.e. true ratio >= ~100*(1-b) — and is
+    the deterministic upper bound ``100*(1-(k+1)/maxlen)`` otherwise.
+    Feature semantics: pairs more distant than the band collapse to
+    ~100*(1-b) instead of spreading over [0, 100*(1-b)); a trained
+    matcher separates on the near side of the band, so the gates
+    (pairwise F1 / AP on the fixture) are asserted unchanged in
+    test_ml_scorer. None (default) = exact everywhere.
+
+    ``hashed_tokens``: opt-in once-per-SIGNATURE tokenization into
+    distinct xxhash64 arrays (the fast scorer's allocation discipline)
+    instead of tokenizing both full strings per PAIR — per-pair
+    split/distinct on full text makes the stage allocation-stall bound
+    (measured: 32 threads pinned at ~25% CPU). ``token_jaccard`` equals
+    the string-token value except under 64-bit token-hash collisions
+    (~n_tokens^2 / 2^65 per signature — the same trade the decision path
+    already accepts).
     """
     sig = signatures.select("conv_id", "sig_text")
+    if hashed_tokens:
+        # same expression text as the fast scorer's toks map
+        sig = sig.withColumn(
+            "toks",
+            F.expr(
+                "array_distinct(transform(split(trim(sig_text), '\\\\s+'),"
+                " x -> xxhash64(x)))"
+            ),
+        )
     if broadcast_signatures:
         # Both payload joins become broadcast-hash joins — zero shuffle of
         # the (much larger) pair table. Only valid while the signature
@@ -153,16 +187,52 @@ def featurize_pairs(
     if lev_prefix is not None:
         la = F.substring("sig_a", 1, lev_prefix)
         lb = F.substring("sig_b", 1, lev_prefix)
-    out = (
-        candidates
-        .join(sig.withColumnRenamed("conv_id", "conv_id_a")
-                 .withColumnRenamed("sig_text", "sig_a"), "conv_id_a")
-        .join(sig.withColumnRenamed("conv_id", "conv_id_b")
-                 .withColumnRenamed("sig_text", "sig_b"), "conv_id_b")
-        .withColumn("lev_ratio", lev_ratio(la, lb))
-        .withColumn("token_jaccard", token_jaccard(F.col("sig_a"), F.col("sig_b")))
-        .withColumn("len_ratio", len_ratio(F.col("sig_a"), F.col("sig_b")))
-    )
+
+    def _side(suffix: str) -> DataFrame:
+        s = (sig.withColumnRenamed("conv_id", f"conv_id_{suffix}")
+                .withColumnRenamed("sig_text", f"sig_{suffix}"))
+        return (s.withColumnRenamed("toks", f"toks_{suffix}")
+                if hashed_tokens else s)
+
+    out = candidates.join(_side("a"), "conv_id_a").join(_side("b"), "conv_id_b")
+    if lev_band is None:
+        out = out.withColumn("lev_ratio", lev_ratio(la, lb))
+    else:
+        out = (
+            out
+            .withColumn("_la", la)
+            .withColumn("_lb", lb)
+            .withColumn("_maxlen",
+                        F.greatest(F.length("_la"), F.length("_lb"), F.lit(1)))
+            .withColumn("_k", F.floor(F.lit(float(lev_band)) * F.col("_maxlen"))
+                        .cast("int"))
+            # SQL form: the banded threshold argument is only accepted as
+            # an expression through the SQL function (same as fast scorer)
+            .withColumn("_d", F.expr("levenshtein(_la, _lb, greatest(_k, 0))"))
+            .withColumn(
+                "lev_ratio",
+                F.when(F.col("_d") >= 0,
+                       100.0 * (1.0 - F.col("_d") / F.col("_maxlen")))
+                 .otherwise(100.0 * (1.0 - (F.col("_k") + 1) / F.col("_maxlen"))),
+            )
+            .drop("_la", "_lb", "_maxlen", "_k", "_d")
+        )
+    if hashed_tokens:
+        out = (
+            out
+            .withColumn("_inter", F.size(F.array_intersect("toks_a", "toks_b")))
+            .withColumn("_union", F.size(F.array_union("toks_a", "toks_b")))
+            .withColumn(
+                "token_jaccard",
+                F.when(F.col("_union") > 0, F.col("_inter") / F.col("_union"))
+                 .otherwise(F.lit(0.0)),
+            )
+            .drop("toks_a", "toks_b", "_inter", "_union")
+        )
+    else:
+        out = out.withColumn(
+            "token_jaccard", token_jaccard(F.col("sig_a"), F.col("sig_b")))
+    out = out.withColumn("len_ratio", len_ratio(F.col("sig_a"), F.col("sig_b")))
     if with_jaro_winkler:
         out = out.withColumn(
             "jaro_winkler", jaro_winkler_udf(F.col("sig_a"), F.col("sig_b"))

@@ -42,7 +42,7 @@ STAGE_FIELDS = {
                    "block_cap", "seq_min_tokens", "seq_cutoff",
                    "seq_max_token_df"),
     "scored": ("scorer", "threshold", "w_lev", "w_jacc", "exact_scores",
-               "ml_seed"),
+               "ml_seed", "feat_lev_band", "feat_hashed_tokens"),
     "clusters": (),
 }
 
@@ -95,6 +95,14 @@ class PipelineConfig:
     # match decisions, exact scores on matches, upper-bounded scores on
     # non-matches, ~order-of-magnitude less edit-distance work
     exact_scores: bool = False
+    # feature-table knobs for the paths that run featurize_pairs (trained
+    # scorers and exact_scores=True): banded lev_ratio (exact within the
+    # band, deterministic upper bound beyond — see featurize_pairs) and
+    # once-per-signature hashed tokenization. SEMANTIC knobs (feature
+    # values feed the model), so both sit in the scored stage fingerprint
+    # — unlike the physical broadcast/sort toggles
+    feat_lev_band: float | None = None
+    feat_hashed_tokens: bool = False
     # bumped whenever ANY persisted stage output changes meaning for the
     # same config fields ("2": round-4 minhash family change — old
     # candidate snapshots are key-space-incompatible and must not resume)
@@ -271,6 +279,8 @@ def run_pipeline(
             feats = featurize_pairs(
                 cand, sig_res.df,
                 broadcast_signatures=cfg.broadcast_signatures,
+                lev_band=cfg.feat_lev_band,
+                hashed_tokens=cfg.feat_hashed_tokens,
             ).persist()
             feat_handle.append(feats)  # fit + transform share one pass
             labeled = attach_labels(feats, labeled_pairs)
@@ -281,7 +291,9 @@ def run_pipeline(
         if cfg.exact_scores:
             return threshold_scorer(
                 featurize_pairs(cand, sig_res.df,
-                                broadcast_signatures=cfg.broadcast_signatures),
+                                broadcast_signatures=cfg.broadcast_signatures,
+                                lev_band=cfg.feat_lev_band,
+                                hashed_tokens=cfg.feat_hashed_tokens),
                 threshold=cfg.threshold, w_lev=cfg.w_lev, w_jacc=cfg.w_jacc,
             )
         return fast_threshold_score(
