@@ -277,8 +277,12 @@ def _run_ml(spark, sigs, labeled, *, executors: int, cores: int,
     feats.count()
     stages["featurize_sec"] = round(time.monotonic() - t0, 2)
     t1 = time.monotonic()
+    # L2 1e-6 with the banded variant: unregularized logistic never
+    # converges on separable features (all 100 LBFGS treeAggregate
+    # barriers, measured 12.6s E1 / 52.7s E4 — the barrier cost is the
+    # whole stage); see train_scorer's reg_param note
     model = train_scorer(attach_labels(feats, labeled), model="logistic",
-                         seed=0)
+                         seed=0, reg_param=1e-6 if feat_band else None)
     stages["fit_sec"] = round(time.monotonic() - t1, 2)
     t2 = time.monotonic()
     scored = score_with_model(model, feats, threshold=0.5).persist()
@@ -294,11 +298,13 @@ def _run_ml(spark, sigs, labeled, *, executors: int, cores: int,
         "pairs_per_sec": round(n_scored / wall, 1), **stages,
         # v2: sample keyed on real-id pairs (level-independent); the two
         # ml-logistic rows keep the record of the iid-keyed sampling bug.
-        # v3 = v2 + banded/hashed featurize (NEM_FEAT_BAND) — a semantic
-        # feature change, so it forks the tag; matches may differ from v2
+        # v4 = v2 + banded/hashed featurize (NEM_FEAT_BAND) + L2 1e-6
+        # logistic — semantic feature/model changes fork the tag; the
+        # single v3 pair (banded featurize, unregularized fit) stays in
+        # the record as the measurement that exposed the fit barrier cost
         "variant": (
-            f"ml-logistic-v3|NEM_ML_SAMPLE_MOD={ML_SAMPLE_MOD}"
-            f"|NEM_FEAT_BAND={feat_band}" if feat_band
+            f"ml-logistic-v4|NEM_ML_SAMPLE_MOD={ML_SAMPLE_MOD}"
+            f"|NEM_FEAT_BAND={feat_band}|l2=1e-06" if feat_band
             else f"ml-logistic-v2|NEM_ML_SAMPLE_MOD={ML_SAMPLE_MOD}"),
     }))
     assert n_scored == n_cand

@@ -156,9 +156,43 @@ def _lineage_rows(spark, run_id: str, stage: str, df: DataFrame,
             F.lit(wall_ms).cast("long").alias("wall_ms"),
             F.lit(snapshot_id).alias("snapshot_id"),
             F.lit(resumed).alias("resumed"),
+            F.lit(None).cast("string").alias("event"),
+            F.lit(None).cast("long").alias("event_value"),
         )
     )
     return per_part
+
+
+_LINEAGE_EVENT_SCHEMA = (
+    "run_id string, stage string, partition_id int, rows_out long, "
+    "wall_ms long, snapshot_id string, resumed boolean, event string, "
+    "event_value long"
+)
+
+
+def _event_rows(spark, run_id: str, stage: str, snapshot_id: str,
+                stats) -> DataFrame:
+    """Cap/fallback events as queryable ``run_metrics`` rows (north rule:
+    caps must be 'semantically visible', not just in-memory stats): one
+    row per event with a numeric value; the packed strategy's
+    prune-before-collect fallback trigger is folded into the event name
+    (``fallback:<trigger>``, value 1). Same schema as the per-partition
+    lineage rows with partition_id/rows_out/wall_ms null."""
+    events: list[tuple[str, int]] = []
+    for name in ("total_blocks", "oversized_blocks", "dropped_memberships",
+                 "capped_at"):
+        v = getattr(stats, name, None)
+        if v is not None:
+            events.append((name, int(v)))
+    hot = stats.extra.get("hot_tokens_dropped")
+    if hot is not None:
+        events.append(("hot_tokens_dropped", int(hot)))
+    fb = stats.extra.get("fallback")
+    if fb:
+        events.append((f"fallback:{fb}", 1))
+    rows = [(run_id, stage, None, None, None, snapshot_id, False, k, v)
+            for k, v in events]
+    return spark.createDataFrame(rows, _LINEAGE_EVENT_SCHEMA)
 
 
 def run_pipeline(
@@ -203,6 +237,7 @@ def run_pipeline(
     )
 
     pair_handle: list[DataFrame] = []
+    bstats_holder: list = []  # BlockingStats when candidates ran this run
 
     def compute_candidates():
         if cfg.blocker == "sequential":
@@ -225,6 +260,7 @@ def run_pipeline(
                 "hot_tokens_dropped": stats.extra.get("hot_tokens_dropped"),
                 "capped_at": stats.capped_at,
             }
+            bstats_holder.append(stats)
             return pairs
         pairs, stats = lsh_block(
             sig_res.df,
@@ -238,12 +274,19 @@ def run_pipeline(
             "dropped_memberships": stats.dropped_memberships,
             "capped_at": stats.capped_at,
         }
+        bstats_holder.append(stats)
         return pairs
 
     cand_res = stage("candidates", sig_res.snapshot_id, compute_candidates,
                      repartition_by=["conv_id_a"])
     for h in pair_handle:
         h.unpersist()
+    if bstats_holder:
+        # cap/fallback events land in run_metrics next to the stage's
+        # per-partition rows; a RESUMED candidates stage emits none (the
+        # events describe the run that actually blocked)
+        metrics.append(_event_rows(spark, run_id, "candidates",
+                                   cand_res.snapshot_id, bstats_holder[0]))
 
     feat_handle: list[DataFrame] = []
 

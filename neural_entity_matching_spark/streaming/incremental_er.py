@@ -105,6 +105,11 @@ def _write_text(spark: SparkSession, path: str, text: str) -> None:
         stream.close()
 
 
+# manifest keys that do NOT pin the key space — allowed to change across
+# reopens of the same store (recorded, never raised on)
+_OPERATIONAL_KEYS = {"compact_every"}
+
+
 def _check_or_write_manifest(
     spark: SparkSession, work_dir: str, params: dict
 ) -> None:
@@ -124,11 +129,14 @@ def _check_or_write_manifest(
     path = f"{work_dir}/_STORE_MANIFEST.json"
     if _dir_exists(spark, path):
         stored = json.loads(_read_text(spark, path))
-        if stored != params:
+        compat = lambda d: {k: v for k, v in d.items()  # noqa: E731
+                            if k not in _OPERATIONAL_KEYS}
+        if compat(stored) != compat(params):
             diff = {
                 k: (stored.get(k), params.get(k))
                 for k in sorted(set(stored) | set(params))
                 if stored.get(k) != params.get(k)
+                and k not in _OPERATIONAL_KEYS
             }
             raise ValueError(
                 "incremental_er: existing store at "
@@ -136,6 +144,10 @@ def _check_or_write_manifest(
                 f"(stored, requested): {diff}. Use a fresh work_dir or "
                 "rebuild the store by replaying turns/."
             )
+        if stored != params:
+            # operational fields (compaction cadence) may change across
+            # reopens — record the current value, never raise
+            _write_text(spark, path, json.dumps(params, sort_keys=True))
     else:
         _write_text(spark, path, json.dumps(params, sort_keys=True))
 
@@ -152,6 +164,7 @@ def incremental_er(
     block_cap: int = 200,
     threshold: float = 0.55,
     store_partitions: int = 16,
+    compact_every: int | None = 16,
 ):
     """Returns a ``writeStream`` handle (call .start(); availableNow
     trigger). State layout under ``work_dir``:
@@ -168,6 +181,15 @@ def incremental_er(
     so a bucket is a few hundred MB at the target corpus (e.g. 4096 at
     10^9 conversations); per-epoch upsert IO is proportional to the
     number of buckets touched, not the store size.
+
+    ``compact_every``: run ``compact_matches`` automatically after every
+    K-th epoch's match write, bounding ``read_current_matches``' input
+    to (distinct pairs + at most K-1 epochs of appends) instead of the
+    stream's whole history. The compaction preserves latest-eval
+    semantics exactly (asserted converged-equal in test_incremental_er),
+    so the only observable effect is the log's size. None = manual
+    (call ``compact_matches`` yourself). Recorded in the manifest as an
+    operational field — changing it across reopens is allowed.
     """
     turns_dir = f"{work_dir}/turns"
     sigs_dir = f"{work_dir}/sigs"
@@ -181,6 +203,8 @@ def incremental_er(
         "bands": int(bands),
         "char_ngram": int(char_ngram),
         "seed": int(seed),
+        "compact_every": (int(compact_every)
+                          if compact_every is not None else None),
     }
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
@@ -274,6 +298,14 @@ def incremental_er(
         ).select("conv_id_a", "conv_id_b", "score", "is_match")
         scored.write.mode("overwrite").parquet(
             f"{matches_dir}/epoch={epoch_id}")
+        # 5. bounded match-log growth: every compact_every-th epoch,
+        #    rewrite the log to latest-eval-per-pair (swap-based,
+        #    crash-safe — see compact_matches). Between compactions the
+        #    log holds at most (distinct pairs + compact_every-1 epochs
+        #    of appends), so read_current_matches' input is bounded by
+        #    corpus size, not stream age.
+        if compact_every and (epoch_id + 1) % int(compact_every) == 0:
+            compact_matches(spark_, work_dir)
         touched_sigs.unpersist()
         keys_touched.unpersist()
         raw_cand.unpersist()

@@ -112,3 +112,55 @@ def test_fast_scorer_threshold_boundary_bitexact(spark):
         e = {tuple(r[k] for k in key): r["is_match"] for r in exact.collect()}
         f = {tuple(r[k] for k in key): r["is_match"] for r in fast.collect()}
         assert e == f, (t, {p: (e[p], f[p]) for p in e if e[p] != f[p]})
+
+
+def test_split_broadcast_survivor_join_no_hot_key_exchange(spark):
+    """Round-5 verdict stretch item: split-broadcast survivors concentrate
+    on near-duplicate-heavy keys (one entity with many near-dups puts ~all
+    string fetches on ONE conv_id_a). The string-map probe must stay a
+    BroadcastHashJoin — no shuffle keyed on the survivor ids exists in the
+    plan, so key skew cannot create a hot-partition exchange at 100x."""
+    import io
+    from contextlib import redirect_stdout
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vocab = [f"tok{i}" for i in range(300)]
+    base = " ".join(rng.choice(vocab, 30))
+    rows = [("hot", base)]
+    # 300 near-duplicates of ONE entity: every (hot, dup_i) pair survives
+    # the jaccard gate and fetches strings, all sharing conv_id_a='hot'
+    for i in range(300):
+        toks = base.split()
+        toks[rng.randint(len(toks))] = rng.choice(vocab)
+        rows.append((f"dup{i:03d}", " ".join(toks)))
+    # plus dissimilar entities whose pairs all skip
+    for i in range(300):
+        rows.append((f"neg{i:03d}", " ".join(rng.choice(vocab, 30))))
+    sigs = spark.createDataFrame(rows, ["conv_id", "sig_text"]).cache()
+    pairs = spark.createDataFrame(
+        [("hot", f"dup{i:03d}") for i in range(300)]
+        + [("hot", f"neg{i:03d}") for i in range(300)],
+        ["conv_id_a", "conv_id_b"],
+    ).cache()
+
+    handles = []
+    scored = fast_threshold_score(
+        pairs, sigs, threshold=0.55, broadcast_signatures=True,
+        split_broadcast=True, persist_handles=handles).cache()
+    agg = scored.agg(F.count("*").alias("n"),
+                     F.sum("is_match").alias("m")).collect()[0]
+    assert agg["n"] == 600 and agg["m"] >= 290  # skew fixture is real
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        scored.explain("formatted")
+    plan = buf.getvalue()
+    # every join below the scorer is a broadcast probe: a SortMergeJoin /
+    # ShuffledHashJoin here would mean survivor rows shuffle on their
+    # (skewed) ids
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # the two string probes
+    for h in handles + [scored, sigs, pairs]:
+        h.unpersist()

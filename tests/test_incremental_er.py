@@ -126,6 +126,76 @@ def test_incremental_er_converges_to_batch(spark, tmp_path, monkeypatch):
     assert info2["rows_before"] == info2["rows_after"] == info["rows_after"]
 
 
+def test_auto_compaction_bounds_match_log(spark, tmp_path, monkeypatch):
+    """compact_every=K triggers compact_matches from the stream itself
+    every K-th epoch (round-5 verdict item #5): after N >> K epochs the
+    match log's row count is bounded by (distinct pairs + < K epochs of
+    appends), not stream age — with converged equality untouched."""
+    import json
+
+    src = str(tmp_path / "turns_src5")
+    work = str(tmp_path / "er_work5")
+    _write_src(spark, src, files=24)  # 24 files / 4 per trigger = 6 epochs
+
+    from neural_entity_matching_spark.streaming import (
+        incremental_er as inc_mod,
+    )
+
+    calls = []
+    real_compact = inc_mod.compact_matches
+
+    def spy(spark_, wd, **kw):
+        calls.append(wd)
+        return real_compact(spark_, wd, **kw)
+
+    monkeypatch.setattr(inc_mod, "compact_matches", spy)
+
+    stream = ingest.stream_transcripts(spark, src)
+    q = incremental_er(spark, stream, work, str(tmp_path / "ck5"),
+                       block_cap=100, threshold=0.55, compact_every=2,
+                       **LSH).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    n_epochs = len(list((tmp_path / "er_work5" / "turns").glob("epoch=*")))
+    assert n_epochs >= 4, "fixture should produce N >> K epochs"
+    assert len(calls) == n_epochs // 2  # fired on every 2nd epoch
+
+    # converged equality is untouched by mid-stream compactions
+    got = {
+        (r["conv_id_a"], r["conv_id_b"])
+        for r in read_current_matches(spark, work).collect()
+    }
+    exp, _ = _batch_matches(spark, src, block_cap=100)
+    assert got == exp
+
+    # bounded log: one row per distinct pair, plus at most K-1 epochs of
+    # appends since the last compaction (zero here iff n_epochs % K == 0)
+    log = spark.read.parquet(f"{work}/matches")
+    n_pairs = log.select("conv_id_a", "conv_id_b").distinct().count()
+    if n_epochs % 2 == 0:
+        assert log.count() == n_pairs
+    else:
+        assert log.count() < 2 * n_pairs
+
+    # the cadence is an OPERATIONAL manifest field: recorded, and a
+    # reopen with a different cadence is allowed (key-space params still
+    # raise)
+    man_path = tmp_path / "er_work5" / "_STORE_MANIFEST.json"
+    man = json.loads(man_path.read_text())
+    assert man["compact_every"] == 2
+    ok_params = dict(man, compact_every=5)
+    inc_mod._check_or_write_manifest(spark, work, ok_params)
+    assert json.loads(man_path.read_text())["compact_every"] == 5
+    import pytest
+
+    with pytest.raises(ValueError, match="incompatible"):
+        inc_mod._check_or_write_manifest(spark, work,
+                                         dict(ok_params, seed=7))
+
+
 def test_incremental_er_cap_bounds_hot_block_work(spark, tmp_path):
     src = str(tmp_path / "turns_src2")
     work = str(tmp_path / "er_work2")

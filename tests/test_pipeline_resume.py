@@ -93,6 +93,20 @@ def test_trained_scorer_rescores_when_labels_change(spark, fixture_small,
     assert {"signatures", "candidates", "scored", "clusters"} <= stages
     assert metrics.filter(F.col("rows_out") <= 0).count() == 0
 
+    # cap events are queryable run_metrics rows (round-5 verdict item
+    # #6), emitted only by runs that actually blocked (never on resume)
+    ev = metrics.filter(F.col("event").isNotNull())
+    names = {r["event"] for r in ev.select("event").distinct().collect()}
+    assert {"total_blocks", "oversized_blocks", "dropped_memberships",
+            "capped_at"} <= names
+    over = ev.filter((F.col("stage") == "candidates")
+                     & (F.col("event") == "oversized_blocks"))
+    vals = {r["event_value"] for r in over.collect()}
+    assert vals == {rep1.stages["_blocking_stats"]["oversized_blocks"]}
+    # one event set per COMPUTED candidates stage: m1 and r3 recomputed
+    # nothing upstream of scored, so exactly the first run's events exist
+    assert over.count() == 1
+
 
 def test_fingerprint_folds_minhash_family(monkeypatch):
     """A minhash-family change must invalidate every stage snapshot for

@@ -112,6 +112,17 @@ def test_packed_physical_cap_fallback(spark):
     s_f, s_n = decoded_set(pf2, sf2), decoded_set(pn2, sn2)
     assert s_f == s_n and len(s_f) == 120 * 119 // 2 + 100 * 3
 
+    # cap/fallback events surface as queryable lineage rows (round-5
+    # verdict item #6): the fallback trigger is folded into the event
+    # name, the cap counters carry their values
+    from neural_entity_matching_spark.plans.pipeline import _event_rows
+
+    d = {r["event"]: r["event_value"]
+         for r in _event_rows(spark, "r", "candidates", "snap", sf).collect()}
+    assert d["oversized_blocks"] == 1 and d["dropped_memberships"] == 120
+    fb = [e for e in d if e.startswith("fallback:")]
+    assert len(fb) == 1 and "prune-before-collect" in fb[0] and d[fb[0]] == 1
+
 
 def test_dense_id_mapping_bijection_multi_partition(spark):
     """Rank assignment must be a bijection 0..n-1 over MANY partitions —
