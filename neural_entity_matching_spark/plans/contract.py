@@ -308,6 +308,67 @@ LEFT JOIN norms nb ON nb.doc_id = p.id_b
 """
 
 
+def q_pair_features_banded(spark, sf_dir):
+    """F7 fast ML feature table: ``featurize_pairs(lev_band=0.2,
+    hashed_tokens=True)`` — the trained-matcher featurize treatment
+    (round-5 verdict item #4). lev_ratio is the exact expression for
+    pairs whose edit distance is within k = floor(0.2 * maxlen) and the
+    deterministic upper bound 100*(1-(k+1)/maxlen) beyond it; jaccard
+    comes from once-per-signature hashed token arrays. The oracle
+    computes the FULL DuckDB levenshtein and applies the identical
+    band/clamp arithmetic — every float expression matches term for
+    term, so the hash compares unrounded doubles."""
+    from neural_entity_matching_spark.operators.scoring import featurize_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = docs.select(F.col("doc_id").alias("conv_id"),
+                       F.col("text").alias("sig_text"))
+    d = docs.select("doc_id", "source")
+    # same oracle-harness-only quadratic block as q_pair_features
+    cands = (
+        d.select(F.col("source"), F.col("doc_id").alias("conv_id_a"))
+        .join(d.select(F.col("source"), F.col("doc_id").alias("conv_id_b")),
+              "source")
+        .filter(F.col("conv_id_a") < F.col("conv_id_b"))
+        .select("conv_id_a", "conv_id_b")
+    )
+    feats = featurize_pairs(cands, sigs, lev_prefix=512,
+                            lev_band=0.2, hashed_tokens=True)
+    return feats.select(
+        F.col("conv_id_a").alias("id_a"),
+        F.col("conv_id_b").alias("id_b"),
+        "lev_ratio", "token_jaccard", "len_ratio",
+    )
+
+
+SQL_PAIR_FEATURES_BANDED = """
+WITH pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         substr(a.text, 1, 512) AS la, substr(b.text, 1, 512) AS lb,
+         a.text AS ta, b.text AS tb
+  FROM documents a JOIN documents b
+    ON a.source = b.source AND a.doc_id < b.doc_id),
+geom AS (
+  SELECT *, greatest(length(la), length(lb), 1) AS maxlen,
+         cast(floor(0.2 * greatest(length(la), length(lb), 1)) AS INTEGER)
+           AS k,
+         levenshtein(la, lb) AS d
+  FROM pairs)
+SELECT id_a, id_b,
+  CASE WHEN d <= k THEN 100.0 * (1.0 - d / maxlen)
+       ELSE 100.0 * (1.0 - (k + 1) / maxlen) END AS lev_ratio,
+  len(list_intersect(list_distinct(string_split_regex(trim(ta), '\\s+')),
+                     list_distinct(string_split_regex(trim(tb), '\\s+'))))
+  / len(list_distinct(list_concat(
+        list_distinct(string_split_regex(trim(ta), '\\s+')),
+        list_distinct(string_split_regex(trim(tb), '\\s+')))))
+    AS token_jaccard,
+  least(length(ta), length(tb)) / greatest(length(ta), length(tb), 1)
+    AS len_ratio
+FROM geom
+"""
+
+
 def q_edit_distance_block(spark, sf_dir):
     """F1/F6: edit-distance blackbox blocking (reference
     script/utilities.py:492-502 thresholds an edit similarity;
@@ -994,6 +1055,7 @@ QUERIES = {
     "token_overlap_block": q_token_overlap_block,
     "two_table_block": q_two_table_block,
     "pair_features": q_pair_features,
+    "pair_features_banded": q_pair_features_banded,
     "edit_distance_block": q_edit_distance_block,
     "sequential_cascade": q_sequential_cascade,
     "pair_ingest": q_pair_ingest,
@@ -1025,6 +1087,7 @@ ORACLES = {
     "token_overlap_block": SQL_TOKEN_OVERLAP_BLOCK,
     "two_table_block": SQL_TWO_TABLE_BLOCK,
     "pair_features": SQL_PAIR_FEATURES,
+    "pair_features_banded": SQL_PAIR_FEATURES_BANDED,
     "edit_distance_block": SQL_EDIT_DISTANCE_BLOCK,
     "sequential_cascade": SQL_SEQUENTIAL_CASCADE,
     "pair_ingest": SQL_PAIR_INGEST,
