@@ -260,13 +260,17 @@ def _ml_section(n_base: int) -> str:
                 + min(r["score_sec"] for r in est["by"][e]))
 
     dp_eff = _dp(1) / (4 * _dp(4))
+    import re as _re
+
+    m = _re.search(r"NEM_ML_SAMPLE_MOD=(\d+)", newest or "")
+    mod = m.group(1) if m else "137"
     out = f"""## ML-matcher chain: N vs 4N executors (mode=ml, n_base={n_base})
 
 The trained-scorer path — featurize -> logistic fit (seed 0) -> model
 scoring — measured under the same N- vs 4N-executor discipline as the
 threshold chain (``python bench/scaling.py ml {n_base} <pairs>``),
 headlining variant ``{newest}``. Work per run: {est['pairs']:,}
-candidate pairs (deterministic xxhash64 1/137 sample keyed on the
+candidate pairs (deterministic xxhash64 1/{mod} sample keyed on the
 canonicalized REAL id pair — level-independent by construction and
 asserted byte-identical across levels), {est['matches']:,} model
 matches. Blocking sits outside the timed section (its scaling is the
@@ -329,27 +333,29 @@ def report(n_base: int, variant: str | None = None) -> dict:
     est = estimators(rows)
     cap = est["capability"]
 
-    # clean-phase projection: today's per-stage E1 floors scaled by the
-    # round-4 full-day CLEAN-phase stage efficiencies (blocking 0.80,
-    # scoring 0.90 — measured, committed in the round-4 table below).
-    # A projection, not a measurement: what the headline reads when the
-    # record catches a 4-executor window as clean as round 4 delivered.
-    e1_rows = [r for r in rows if r["executors"] == 1]
+    # stage-floor composition: the headline each level reads if ONE run
+    # ever combines the record's best per-stage walls (floors may come
+    # from different runs). Once clean windows exist at both levels this
+    # converges to the capability row; the round-5 projection that
+    # borrowed the FUSED plan's 0.90 clean scoring efficiency is retired
+    # — round 6's converged floors measure the split plan's own stage
+    # efficiencies directly (blocking ~0.76, scoring ~0.69).
     proj_section = ""
-    if e1_rows and "blocking_sec" in e1_rows[0]:
-        min_b1 = min(r["blocking_sec"] for r in e1_rows)
-        min_s1 = min(r["scoring_sec"] for r in e1_rows)
-        proj_t4 = min_b1 / (4 * 0.80) + min_s1 / (4 * 0.90)
+    by_e = {e: [r for r in rows if r["executors"] == e] for e in (1, 4)}
+    if all(by_e.values()) and "blocking_sec" in by_e[1][0]:
+        floors = {e: (min(r["blocking_sec"] for r in by_e[e]),
+                      min(r["scoring_sec"] for r in by_e[e]))
+                  for e in (1, 4)}
+        t1c = sum(floors[1])
+        t4c = sum(floors[4])
         proj_section = f"""
-Projection (NOT a measurement, stated for convergence context): at the
-round-4 clean-phase stage efficiencies — blocking 0.80, scoring 0.90,
-both measured on this plan's unchanged blocking stage and the fused
-scorer's stronger-contention case — this record's 1-executor stage
-floors (blocking {min_b1:.1f} s, scoring {min_s1:.1f} s) put a
-clean-window T4 at {proj_t4:.1f} s and the headline at
-**{cap['t1'] / (4 * proj_t4):.3f}**; that is the number this record
-reads once one 4-executor batch lands in a window as clean as round
-4's day provided repeatedly.
+Stage-floor composition (best per-stage walls across the record, not
+necessarily one run): T1 >= {floors[1][0]:.1f} + {floors[1][1]:.1f} =
+{t1c:.1f} s, T4 >= {floors[4][0]:.1f} + {floors[4][1]:.1f} =
+{t4c:.1f} s -> composed ratio {t1c / (4 * t4c):.3f}. Per-stage clean
+efficiencies this implies: blocking
+{floors[1][0] / (4 * floors[4][0]):.3f}, scoring
+{floors[1][1] / (4 * floors[4][1]):.3f}.
 """
 
     other_section = ""
@@ -452,6 +458,27 @@ cannot gate batches). Even that best window was not clean: its
 blocking leg ran ~1.8x the round-4 clean floor. The phase-robust
 design keeps every run in the record; the estimate moves only when
 the host moves.
+
+Round 6 (2026-08-18, five more split batches appended across ~3.5 h of
+phases) is that convergence happening: the 4-executor floor fell
+451.6 -> 370.8 -> 351.1 -> 296.7 -> 208.2 -> 197.0 s as windows
+cleaned up, the best leg carrying blocking 31.7 s — INSIDE the round-4
+clean range (31-47 s) for the first time since the fused record — and
+scoring 165.4 s, well under the round-5 best (196.3 s). The
+1-executor floor fell 611.9 -> 550.9 s over the same batches. The
+capability headline moved 0.560 -> ~0.70 purely from the record
+accumulating. What the converged floors now say about the PLAN (as
+opposed to the host): blocking's clean N->4N efficiency is ~0.76 and
+split scoring's is ~0.69 — the round-4 0.90 scoring stage efficiency
+belonged to the fused plan whose 1x baseline was ~38% slower (fused
+in-record floors: 760.8 s / 336.7 s, both from the degraded round-5
+day); the split plan lowered BOTH levels' walls (its point was cutting
+per-probe broadcast bytes, which also helps the single executor), so
+its own 4x ratio is lower while its absolute throughput is the best
+this record has measured at BOTH levels — 139.6k pairs/s capability at
+4x1 vs the in-record fused floor's 81.7k (1.71x), 49.9k vs 36.1k at
+1x1. A ratio target rewards a slow baseline; the throughput row above
+is the number a cluster buys.
 {proj_section}
 
 All headline-variant runs (append-only record,
