@@ -12,11 +12,13 @@ where the JVM lacks the function.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, LongType
 
 
 def lev_ratio(a: Column, b: Column) -> Column:
@@ -291,6 +293,265 @@ def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
         )
     except ImportError:
         return pd.Series(_jaro_winkler_batch(av, bv))
+
+
+# ---------------------------------------------------------------------------
+# exact Levenshtein — batch-vectorized blocked Myers bit-parallel kernel
+# (Myers 1999 / Hyyrö 2003). O(n * ceil(m/64)) word ops per pair instead
+# of the O(n * m) cell DP: the r7 featurize lever (guide §4.2 — hand whole
+# Arrow batches to vectorized native code). EXACT unit-cost Levenshtein,
+# bit-identical to Spark's JVM ``levenshtein`` (integer distance over code
+# points), validated against the classic DP in test_properties.
+# ---------------------------------------------------------------------------
+
+_U1 = np.uint64(1)
+_U63 = np.uint64(63)
+_UFULL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _lev_codes(a_mat: np.ndarray, b_mat: np.ndarray):
+    """Dense small codes for the chunk's code points. Fast path: one
+    cumsum lookup table over the BMP; exact np.unique fallback beyond."""
+    hi = max(int(a_mat.max(initial=0)), int(b_mat.max(initial=0)))
+    if hi < 65536:
+        present = np.zeros(65536, dtype=bool)
+        present[a_mat.ravel()] = True
+        present[b_mat.ravel()] = True
+        lut = np.cumsum(present).astype(np.int32) - 1
+        return lut[a_mat], lut[b_mat], int(present.sum())
+    alpha = np.unique(np.concatenate([a_mat.ravel(), b_mat.ravel()]))
+    return (np.searchsorted(alpha, a_mat).astype(np.int32),
+            np.searchsorted(alpha, b_mat).astype(np.int32), len(alpha))
+
+
+def _myers_lev_chunk(a_strs: np.ndarray, b_strs: np.ndarray,
+                     tile: int = 64) -> np.ndarray:
+    """Exact Levenshtein distances for one chunk of (pattern, text) pairs.
+
+    Caller contract: pattern (a) is the SHORTER side per pair and pairs
+    arrive sorted by text length DESCENDING, so at text position i the
+    still-active pairs are the prefix [0:n_act[i]] — no per-lane masks.
+
+    Shape discipline (all hot arrays (B,) contiguous, cache-resident):
+    the pattern is cut into 64-bit words; per word one vectorized fancy
+    gather pulls the whole text tile's Eq masks from an (A, B) table;
+    horizontal carries between words stage in (tile, B) arrays. Per
+    (char, word) step: ~22 contiguous uint64 vector ops.
+    """
+    B = len(a_strs)
+    a_mat, a_len = _encode_batch(a_strs)
+    b_mat, b_len = _encode_batch(b_strs)
+    out = np.zeros(B, dtype=np.int64)
+    empty_a = a_len == 0
+    out[empty_a] = b_len[empty_a]
+    if empty_a.all():
+        return out
+    a_code, b_code, A = _lev_codes(a_mat, b_mat)
+    m_max = int(a_len.max())
+    W = (m_max + 63) // 64
+    # wide alphabets (e.g. CJK) inflate the (W, A, B) Peq tables; split
+    # the chunk row-wise so Peq stays under ~256 MB per worker
+    if A * W * B * 8 > (256 << 20) and B > 64:
+        half = B // 2
+        out[:half] = _myers_lev_chunk(a_strs[:half], b_strs[:half], tile)
+        out[half:] = _myers_lev_chunk(a_strs[half:], b_strs[half:], tile)
+        return out
+    n_max = int(b_len.max())
+    sm = np.maximum(a_len - 1, 0)
+    sword = (sm // 64).astype(np.int64)
+    sbit = (sm % 64).astype(np.uint64)
+    score = a_len.astype(np.int64).copy()
+    # pairs sorted by len(b) desc -> active count at text position i
+    n_act = np.searchsorted(-b_len, -np.arange(1, n_max + 1), side="right")
+    bT = np.ascontiguousarray(b_code.T)  # (n_max, B)
+    rowsB = np.arange(B)
+    VP = np.full((W, B), _UFULL, dtype=np.uint64)
+    VN = np.zeros((W, B), dtype=np.uint64)
+    msel = [(_U1 * ((sword == k) & ~empty_a)).astype(np.uint64)
+            for k in range(W)]
+    has_sel = [bool(m.any()) for m in msel]
+    # per-word Peq tables (A, B); built once, gathered per tile
+    peq = np.zeros((W, A, B), dtype=np.uint64)
+    pidx, jabs = np.nonzero(np.arange(m_max)[None, :] < a_len[:, None])
+    np.bitwise_or.at(peq, (jabs // 64, a_code[pidx, jabs], pidx),
+                     _U1 << (jabs % 64).astype(np.uint64))
+    T = [np.empty(B, dtype=np.uint64) for _ in range(8)]
+    sd = np.empty(B, dtype=np.uint64)
+    Hp = np.empty((tile, B), dtype=np.uint64)
+    Hn = np.empty((tile, B), dtype=np.uint64)
+    for t0 in range(0, n_max, tile):
+        t1 = min(t0 + tile, n_max)
+        if n_act[t0] == 0:
+            break
+        Hp[: t1 - t0].fill(1)  # word-0 carry-in: +1 (row-0 boundary)
+        Hn[: t1 - t0].fill(0)
+        for k in range(W):
+            # one vectorized gather for the whole tile
+            EqT = peq[k][bT[t0:t1], rowsB[None, :]]  # (t1-t0, B)
+            vp_k, vn_k = VP[k], VN[k]
+            mk = msel[k]
+            for ti in range(t1 - t0):
+                n = int(n_act[t0 + ti])
+                if n == 0:
+                    break
+                eq = EqT[ti, :n]
+                hp = Hp[ti, :n]
+                hn = Hn[ti, :n]
+                v = vp_k[:n]
+                w_ = vn_k[:n]
+                xv, eq2, t2, xh, ph, mh, t6, t7 = (t[:n] for t in T)
+                np.bitwise_or(eq, w_, out=xv)
+                np.bitwise_or(eq, hn, out=eq2)
+                np.bitwise_and(eq2, v, out=t2)
+                np.add(t2, v, out=t2)
+                np.bitwise_xor(t2, v, out=t2)
+                np.bitwise_or(t2, eq2, out=xh)
+                np.bitwise_or(xh, v, out=t6)
+                np.invert(t6, out=t6)
+                np.bitwise_or(w_, t6, out=ph)
+                np.bitwise_and(v, xh, out=mh)
+                if has_sel[k]:
+                    s = sd[:n]
+                    np.right_shift(ph, sbit[:n], out=s)
+                    np.bitwise_and(s, _U1, out=s)
+                    np.multiply(s, mk[:n], out=s)
+                    score[:n] += s.view(np.int64)
+                    np.right_shift(mh, sbit[:n], out=s)
+                    np.bitwise_and(s, _U1, out=s)
+                    np.multiply(s, mk[:n], out=s)
+                    score[:n] -= s.view(np.int64)
+                # horizontal carry out = pre-shift top bits (0/1 valued)
+                np.right_shift(ph, _U63, out=t2)
+                np.right_shift(mh, _U63, out=t7)
+                np.left_shift(ph, _U1, out=ph)
+                np.bitwise_or(ph, hp, out=ph)
+                np.left_shift(mh, _U1, out=mh)
+                np.bitwise_or(mh, hn, out=mh)
+                np.bitwise_or(xv, ph, out=t6)
+                np.invert(t6, out=t6)
+                np.bitwise_or(mh, t6, out=vp_k[:n])
+                np.bitwise_and(ph, xv, out=vn_k[:n])
+                Hp[ti, :n] = t2
+                Hn[ti, :n] = t7
+    out[~empty_a] = score[~empty_a]
+    return out
+
+
+def _lev_distance_batch(a_strs: np.ndarray, b_strs: np.ndarray,
+                        chunk: int = 8192,
+                        cell_budget: int = 1 << 22) -> np.ndarray:
+    """Exact Levenshtein over a whole Arrow batch: per-pair swap so the
+    pattern is the shorter side, length-sorted budgeted chunks (same
+    discipline as _indel_distance_batch — one outlier string degrades to
+    its own small chunk instead of inflating every row's matrices),
+    descending text order inside each chunk for the prefix-active trick."""
+    lens_a = np.fromiter((len(s) for s in a_strs), np.int64, len(a_strs))
+    lens_b = np.fromiter((len(s) for s in b_strs), np.int64, len(b_strs))
+    swap = lens_a > lens_b
+    pat = np.where(swap, b_strs, a_strs)
+    txt = np.where(swap, a_strs, b_strs)
+    maxlen = np.maximum(lens_a, lens_b)
+    out = np.zeros(len(a_strs), dtype=np.int64)
+    for idx in _chunk_by_length(maxlen, widths=maxlen, chunk=chunk,
+                                cell_budget=cell_budget):
+        idx = idx[np.argsort(-maxlen[idx], kind="stable")]
+        out[idx] = _myers_lev_chunk(pat[idx], txt[idx])
+    return out
+
+
+@F.pandas_udf(LongType())
+def lev_batch_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Exact Levenshtein distance (Arrow-batched, vectorized Myers).
+
+    NULL-propagating like the JVM built-in: a NULL on either side yields
+    NULL. Distances are integer-exact equals of ``F.levenshtein``, so any
+    downstream float expression over them is bit-identical to the JVM
+    path."""
+    null = a.isna() | b.isna()
+    av = a.fillna("").to_numpy()
+    bv = b.fillna("").to_numpy()
+    d = _lev_distance_batch(av, bv)
+    res = pd.Series(d, dtype="Int64")
+    res[null.to_numpy()] = None
+    return res
+
+
+_JAVA_WS = re.compile("[ \t\n\x0b\x0c\r]+")
+
+
+def _token_sets_jaccard(av: np.ndarray, bv: np.ndarray):
+    """|A∩B| and |A∪B| over distinct whitespace tokens with EXACT Spark
+    semantics: ``trim`` strips ASCII space (0x20) only, Java-regex
+    ``\\s+`` is exactly [ \\t\\n\\x0B\\f\\r]+ (NOT Unicode-aware), and
+    boundary separators yield empty-string tokens, all verified against
+    the JVM expressions in test_properties. Token sets are memoized per
+    distinct signature string within the batch (a signature appears in
+    many candidate pairs)."""
+    n = len(av)
+    ti = np.zeros(n, dtype=np.int32)
+    tu = np.zeros(n, dtype=np.int32)
+    split = _JAVA_WS.split
+    memo: dict[str, frozenset] = {}
+
+    def toks(s: str) -> frozenset:
+        t = memo.get(s)
+        if t is None:
+            t = frozenset(split(s.strip(" ")))
+            memo[s] = t
+        return t
+
+    for i in range(n):
+        sa = toks(av[i])
+        sb = toks(bv[i])
+        inter = len(sa & sb)
+        ti[i] = inter
+        tu[i] = len(sa) + len(sb) - inter
+    return ti, tu
+
+
+def lev_tokjac_udf(lev_prefix: int | None = 512):
+    """Factory: one Arrow pass computing BOTH the exact Levenshtein
+    distance (over the first ``lev_prefix`` code points — Python slicing
+    and Spark ``substring`` agree on code-point units) and the distinct-
+    token intersection/union sizes over the FULL strings.
+
+    Fusing the two removes the per-pair JVM split/array_distinct/
+    array_intersect chain (measured ~10.9s per 2.06M pairs on local[32]
+    — the allocation-stall term the featurize docstring documents) for
+    the price of integer columns that ride the Arrow batch already paid
+    for by the Levenshtein operands. The caller reconstructs lev_ratio /
+    token_jaccard with the IDENTICAL float expressions the JVM path
+    used, so results are bit-identical."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_t = StructType([
+        StructField("d", LongType()),
+        StructField("ti", IntegerType()),
+        StructField("tu", IntegerType()),
+    ])
+
+    @F.pandas_udf(out_t)
+    def _f(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+        null = (a.isna() | b.isna()).to_numpy()
+        av = a.fillna("").to_numpy()
+        bv = b.fillna("").to_numpy()
+        ti, tu = _token_sets_jaccard(av, bv)
+        if lev_prefix is not None:
+            ap = np.array([s[:lev_prefix] for s in av], dtype=object)
+            bp = np.array([s[:lev_prefix] for s in bv], dtype=object)
+        else:
+            ap, bp = av, bv
+        d = _lev_distance_batch(ap, bp)
+        out = pd.DataFrame({
+            "d": pd.Series(d, dtype="Int64"),
+            "ti": pd.Series(ti, dtype="Int32"),
+            "tu": pd.Series(tu, dtype="Int32"),
+        })
+        if null.any():
+            out.loc[null, :] = None
+        return out
+
+    return _f
 
 
 def _indel_distance(s1: str, s2: str) -> int:

@@ -467,30 +467,74 @@ def grouped_pairs_from_block_keys(
     encode_ids: bool = True,
     materialize: bool = True,
     decode_ids: bool = True,
+    ids: DataFrame | None = None,
+    physical_block_cap: int = 1 << 20,
 ) -> tuple[DataFrame, BlockingStats]:
-    """Grouped pair generation: hash-aggregate block sizes (map-side
-    partial), semi-join the keys to cap-eligible blocks, ``collect_list``
-    the members of surviving blocks on the SAME partitioning (no extra
-    exchange), expand combinations JVM-side, distinct.
+    """Grouped pair generation, SINGLE-PASS (r7, guide §2.4): one exchange
+    of the (iid, block_key) membership set builds the member arrays AND
+    the size stats — the same shape ``packed_pairs_from_block_keys`` uses.
+    The earlier two-pass form (sizes agg -> eligibility join ->
+    collect_list) exchanged the ~bands-per-doc membership set TWICE plus
+    a join; at 66k sigs / 4.2M membership rows the removed exchange+join
+    measured ~2s of a 15.5s blocking stage on local[32].
 
-    Memory bound: oversized blocks are eliminated by the eligibility join
-    BEFORE any member list materializes, so a mega block never buffers —
-    per-block list size and pair fan-out are bounded by the cap. All
-    exchanges are hash aggregations/joins: an earlier window-function form
-    (row_number + count over block_key) computed the same thing in one
-    exchange but through a SORT, and sort-based exchanges measurably
-    anti-scale with executor threads (3.6s -> 12.4s from 8 to 32 threads
-    on the 40k-doc profile) while hash aggregates scale.
+    Memory trade (same as packed): member arrays buffer BEFORE the cap
+    filter, bounded by the largest physical block at 8 bytes/member. If
+    the size stats show any block above ``physical_block_cap`` the pair
+    generation REBUILDS through the prune-before-collect shape (sizes ->
+    eligibility join -> collect over survivors only), so a degenerate
+    distribution buffers the oversized arrays exactly once, in the stats
+    job that detects them. ``stats.extra['fallback']`` records the
+    trigger.
+
+    ``ids``: optional pre-distinct entity-id set (one row per entity,
+    e.g. the signature table's id column). Supplying it replaces the
+    dropDuplicates exchange over the membership rows with a projection
+    of the entity table AND lets ``keys`` stream straight into the group
+    exchange with no persist (the expensive key producer — the minhash
+    band UDF — runs exactly once either way, but the cache write/read
+    and its materialization job disappear).
     """
-    narrow, mapping, release = _prepare_keys(keys, id_col, encode_ids)
-    sizes = narrow.groupBy("block_key").agg(F.count("*").alias("bs")).persist()
-    release.append(sizes)
-    stats_row = sizes.agg(
+    release: list[DataFrame] = []
+    if not encode_ids:
+        narrow = keys.select(F.col(id_col).alias("iid"), "block_key")
+        mapping = None
+    elif ids is not None:
+        mapping = (
+            ids.select(F.col(id_col).alias("_id"))
+            .withColumn("iid", F.xxhash64(F.col("_id")))
+            .persist()
+        )
+        release.append(mapping)
+        chk = mapping.agg(
+            F.count("*").alias("n"), F.countDistinct("iid").alias("d")
+        ).collect()[0]
+        if chk["n"] != chk["d"]:
+            for df in release:
+                df.unpersist()
+            raise ValueError(
+                f"xxhash64 id collision or duplicate input ids "
+                f"({chk['n']} ids -> {chk['d']} hashes); pre-assign dense "
+                "int ids and call with encode_ids=False"
+            )
+        narrow = keys.select(F.xxhash64(F.col(id_col)).alias("iid"),
+                             "block_key")
+    else:
+        narrow, mapping, release = _prepare_keys(keys, id_col, True)
+    grouped = (
+        narrow.groupBy("block_key")
+        .agg(F.sort_array(F.collect_list("iid")).alias("ids"))
+        .select("ids", F.size("ids").alias("bs"))
+        .persist()
+    )
+    release.append(grouped)
+    stats_row = grouped.agg(
         F.count("*").alias("total"),
         F.sum(F.when(F.col("bs") > block_cap, 1).otherwise(0)).alias("over"),
         F.sum(
             F.when(F.col("bs") > block_cap, F.col("bs")).otherwise(0)
         ).alias("dropped"),
+        F.max("bs").alias("max_bs"),
     ).collect()[0]
     stats = BlockingStats(
         total_blocks=stats_row["total"] or 0,
@@ -499,14 +543,32 @@ def grouped_pairs_from_block_keys(
         capped_at=block_cap,
         extra={"strategy": "grouped"},
     )
-    eligible = sizes.filter(
-        (F.col("bs") >= 2) & (F.col("bs") <= block_cap)
-    ).select("block_key")
-    blocks = (
-        narrow.join(eligible, "block_key")
-        .groupBy("block_key")
-        .agg(F.sort_array(F.collect_list("iid")).alias("ids"))
-    )
+    if (stats_row["max_bs"] or 0) > physical_block_cap:
+        # degenerate distribution: rebuild through prune-before-collect so
+        # the mega block's member array never materializes again (it was
+        # buffered exactly once, in the stats job above)
+        grouped.unpersist()
+        release.remove(grouped)
+        if ids is not None or not encode_ids:
+            narrow = narrow.persist()  # keys stream twice below
+            release.append(narrow)
+        sizes = narrow.groupBy("block_key").agg(F.count("*").alias("bs"))
+        eligible = sizes.filter(
+            (F.col("bs") >= 2) & (F.col("bs") <= block_cap)
+        ).select("block_key")
+        grouped = (
+            narrow.join(eligible, "block_key")
+            .groupBy("block_key")
+            .agg(F.sort_array(F.collect_list("iid")).alias("ids"))
+            .select("ids", F.size("ids").alias("bs"))
+            .persist()
+        )
+        release.append(grouped)
+        stats.extra["fallback"] = (
+            f"prune-before-collect (max physical block "
+            f"{stats_row['max_bs']} > {physical_block_cap})"
+        )
+    blocks = grouped.filter((F.col("bs") >= 2) & (F.col("bs") <= block_cap))
     pair_expr = (
         "flatten(transform(sequence(1, size(ids) - 1), i -> "
         "transform(slice(ids, i + 1, size(ids) - i), "
@@ -842,9 +904,13 @@ def lsh_block(
         return two_table_pairs_from_block_keys(
             keys, keys_rhs, block_cap=block_cap, materialize=materialize)
     if strategy == "grouped":
+        # signatures are one-row-per-entity: their id column is the
+        # pre-distinct id set (skips the raw-keys persist and the
+        # dropDuplicates exchange over the 64-bands-per-doc memberships)
         return grouped_pairs_from_block_keys(
             keys, block_cap=block_cap, materialize=materialize,
-            decode_ids=decode_ids)
+            decode_ids=decode_ids,
+            ids=signatures.select(F.col("conv_id")))
     if strategy == "packed":
         # signatures are one-row-per-entity: pass their id column as the
         # pre-distinct id set (skips a dropDuplicates exchange over the

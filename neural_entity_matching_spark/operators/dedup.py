@@ -27,7 +27,7 @@ from pyspark.sql.types import ArrayType, LongType
 from neural_entity_matching_spark.functions.minhash import band_keys_udf
 from neural_entity_matching_spark.operators.blocking import (
     BlockingStats,
-    pairs_from_block_keys,
+    grouped_pairs_from_block_keys,
 )
 
 
@@ -79,7 +79,12 @@ def minhash_lsh_dedup(
         # int64 is already cross-band-unique — no string key needed
         .select("conv_id", F.explode(udf("t")).alias("block_key"))
     )
-    cand, stats = pairs_from_block_keys(keys, block_cap=block_cap)
+    # single-pass grouped pair-gen with the doc table as the pre-distinct
+    # id set (r7): same candidate set as the join form, two fewer
+    # membership exchanges and no raw-keys persist
+    cand, stats = grouped_pairs_from_block_keys(
+        keys, block_cap=block_cap,
+        ids=docs.select(F.col(id_col).cast("string").alias("conv_id")))
     g = docs.select(
         F.col(id_col).cast("string").alias("cid"),
         F.col(id_col).alias("did"),
@@ -236,7 +241,9 @@ def simhash_dedup(
     )
 
     keys = bands.select(F.col("id").cast("string").alias("conv_id"), "block_key")
-    cand, stats = pairs_from_block_keys(keys, block_cap=block_cap)
+    cand, stats = grouped_pairs_from_block_keys(
+        keys, block_cap=block_cap,
+        ids=d.select(F.col("id").cast("string").alias("conv_id")))
     payload = d.select(F.col("id").cast("string").alias("cid"),
                        F.col("id").alias("did"), "sh")
     pairs = (
@@ -288,19 +295,31 @@ def ngram_jaccard_dedup(
 
     ex = g.select("blk", "id", "sz", F.explode("g").alias("gr"))
     gdf = ex.groupBy("gr").agg(F.count("*").alias("df"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("id").orderBy("df", "gr")
-    prefix = (
+    # r7: the prefix (first |g| - ceil(t/(1+t)*|g|) + 1 grams by ascending
+    # (df, gr)) used to come from a row_number window — a full SortExec
+    # over the exploded gram set (~300 grams/doc), the dominant first-run
+    # term at corpus scale (sort-based exchanges anti-scale with local
+    # threads; see grouped_pairs docstring). Same prefix via one hash
+    # aggregate + an O(g log g) per-doc array sort: sort_array over
+    # (df, gr) structs orders lexicographically — exactly the window's
+    # ORDER BY df, gr (grams are distinct per doc, so no ties) — then
+    # slice to the prefix length and re-explode.
+    packed = (
         ex.join(gdf, "gr")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(
-            F.col("rn")
-            <= F.col("sz")
-            - F.ceil(F.lit(threshold / (1.0 + threshold)) * F.col("sz"))
-            + 1
+        .groupBy("blk", "id", "sz")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "gr"))).alias("gs"))
+        .withColumn(
+            "pl",
+            (F.col("sz")
+             - F.ceil(F.lit(threshold / (1.0 + threshold)) * F.col("sz"))
+             + 1).cast("int"),
         )
-        .select("blk", "gr", "id")
+    )
+    prefix = (
+        packed.select(
+            "blk", "id",
+            F.explode(F.expr("slice(gs, 1, pl)")).alias("s"))
+        .select("blk", F.col("s.gr").alias("gr"), "id")
     )
     cand = (
         prefix.select("blk", "gr", F.col("id").alias("id_a"))
@@ -344,7 +363,9 @@ def embedding_cosine_dedup(
         F.col(id_col).cast("string").alias("conv_id"),
         b(F.col(vec_col)).alias("block_key"),
     ).withColumn("block_key", F.col("block_key").cast("string"))
-    cand, stats = pairs_from_block_keys(keyed, block_cap=block_cap)
+    cand, stats = grouped_pairs_from_block_keys(
+        keyed, block_cap=block_cap,
+        ids=vectors.select(F.col(id_col).cast("string").alias("conv_id")))
     dot = "aggregate(zip_with({0}, {1}, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, v) -> a + v)"
     payload = vectors.select(
         F.col(id_col).cast("string").alias("cid"), F.col(id_col).alias("did"),

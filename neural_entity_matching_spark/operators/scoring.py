@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 from neural_entity_matching_spark.functions.similarity import (
     jaro_winkler_udf,
     len_ratio,
-    lev_ratio,
+    lev_batch_udf,
+    lev_tokjac_udf,
     token_jaccard,
 )
 
@@ -195,8 +196,56 @@ def featurize_pairs(
                 if hashed_tokens else s)
 
     out = candidates.join(_side("a"), "conv_id_a").join(_side("b"), "conv_id_b")
-    if lev_band is None:
-        out = out.withColumn("lev_ratio", lev_ratio(la, lb))
+    fused_udf = lev_band is None and not hashed_tokens
+    if fused_udf:
+        # r7 hot path (guide §4.2): ONE Arrow pass computes the exact
+        # Levenshtein distance (batch-vectorized Myers kernel,
+        # O(n*ceil(m/64)) instead of O(n*m) — integer-identical to
+        # F.levenshtein) AND the distinct-token intersect/union sizes
+        # (exact Spark trim/split semantics, memoized per signature).
+        # Replaces the two dominant per-pair JVM terms: the full cell DP
+        # (~95% of the exact featurize wall) and the per-pair
+        # split/array_distinct/array_intersect chain. lev_ratio /
+        # token_jaccard are reconstructed with float expressions copied
+        # term-for-term from similarity.lev_ratio / token_jaccard, so
+        # every double is bit-identical to the JVM path (oracle-checked
+        # by pair_features).
+        out = (
+            out.withColumn(
+                "_lj", lev_tokjac_udf(lev_prefix)(F.col("sig_a"),
+                                                  F.col("sig_b")))
+            .withColumn(
+                "lev_ratio",
+                100.0
+                * (
+                    1.0
+                    - F.col("_lj.d")
+                    / F.greatest(F.length(la), F.length(lb), F.lit(1))
+                ),
+            )
+            .withColumn(
+                "token_jaccard",
+                F.when(F.col("_lj.tu") > 0, F.col("_lj.ti") / F.col("_lj.tu"))
+                 .otherwise(F.lit(0.0)),
+            )
+            .drop("_lj")
+        )
+    elif lev_band is None:
+        # exact distance via the Myers kernel, jaccard handled by the
+        # hashed_tokens branch below
+        out = (
+            out.withColumn("_lev_d", lev_batch_udf(la, lb))
+            .withColumn(
+                "lev_ratio",
+                100.0
+                * (
+                    1.0
+                    - F.col("_lev_d")
+                    / F.greatest(F.length(la), F.length(lb), F.lit(1))
+                ),
+            )
+            .drop("_lev_d")
+        )
     else:
         out = (
             out
@@ -229,7 +278,7 @@ def featurize_pairs(
             )
             .drop("toks_a", "toks_b", "_inter", "_union")
         )
-    else:
+    elif not fused_udf:
         out = out.withColumn(
             "token_jaccard", token_jaccard(F.col("sig_a"), F.col("sig_b")))
     out = out.withColumn("len_ratio", len_ratio(F.col("sig_a"), F.col("sig_b")))

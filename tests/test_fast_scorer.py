@@ -164,3 +164,62 @@ def test_split_broadcast_survivor_join_no_hot_key_exchange(spark):
     assert plan.count("BroadcastHashJoin") >= 2  # the two string probes
     for h in handles + [scored, sigs, pairs]:
         h.unpersist()
+
+
+def test_featurize_fused_udf_bitexact_vs_jvm_expressions(fixture_small):
+    """r7: the default featurize path computes lev_ratio/token_jaccard
+    through the fused Myers+tokenizer Arrow UDF. Every double must be
+    BIT-IDENTICAL to the plain JVM expressions (F.levenshtein +
+    array_intersect jaccard) over the same pairs — including whitespace
+    edge cases injected into the signature text."""
+    from neural_entity_matching_spark.functions.normalize import (
+        build_signatures,
+    )
+    from neural_entity_matching_spark.functions.similarity import (
+        len_ratio,
+        lev_ratio,
+        token_jaccard,
+    )
+    from neural_entity_matching_spark.operators.scoring import featurize_pairs
+
+    transcripts, _, _ = fixture_small
+    spark = transcripts.sparkSession
+    sigs = build_signatures(transcripts).limit(120)
+    # adversarial rows: empties, sub-shingle strings, exotic whitespace
+    extra = spark.createDataFrame(
+        [("w-1", "", 1), ("w-2", " ", 1), ("w-3", "a\tb c", 1),
+         ("w-4", "x " * 300, 1), ("w-5", "\x0bduplicated token token\x0c", 1)],
+        "conv_id string, sig_text string, n_turns int")
+    sigs = sigs.unionByName(extra).cache()
+    a = sigs.select(F.col("conv_id").alias("conv_id_a"))
+    b = sigs.select(F.col("conv_id").alias("conv_id_b"))
+    cands = (a.crossJoin(b)
+             .filter(F.col("conv_id_a") < F.col("conv_id_b"))
+             .filter(F.pmod(F.xxhash64("conv_id_a", "conv_id_b"), F.lit(7))
+                     == 0))
+    got = featurize_pairs(cands, sigs, lev_prefix=512)
+    sig2 = sigs.select("conv_id", "sig_text")
+    exp = (
+        cands
+        .join(sig2.withColumnRenamed("conv_id", "conv_id_a")
+              .withColumnRenamed("sig_text", "sig_a"), "conv_id_a")
+        .join(sig2.withColumnRenamed("conv_id", "conv_id_b")
+              .withColumnRenamed("sig_text", "sig_b"), "conv_id_b")
+        .withColumn("lev_ratio", lev_ratio(F.substring("sig_a", 1, 512),
+                                           F.substring("sig_b", 1, 512)))
+        .withColumn("token_jaccard",
+                    token_jaccard(F.col("sig_a"), F.col("sig_b")))
+        .withColumn("len_ratio", len_ratio(F.col("sig_a"), F.col("sig_b")))
+        .select("conv_id_a", "conv_id_b", "lev_ratio", "token_jaccard",
+                "len_ratio")
+    )
+    g = {(r["conv_id_a"], r["conv_id_b"]):
+         (r["lev_ratio"], r["token_jaccard"], r["len_ratio"])
+         for r in got.collect()}
+    e = {(r["conv_id_a"], r["conv_id_b"]):
+         (r["lev_ratio"], r["token_jaccard"], r["len_ratio"])
+         for r in exp.collect()}
+    assert g.keys() == e.keys() and len(g) > 100
+    for k in e:
+        assert g[k] == e[k], (k, g[k], e[k])  # bitwise double equality
+    sigs.unpersist()

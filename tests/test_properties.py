@@ -114,3 +114,87 @@ def test_short_strings_pad_like_reference(t):
     with spaces (reference blocking_algorithms.py:117-119)."""
     padded = t + " " * (8 - len(t))
     assert np.array_equal(_shingle_hashes(t, 8), _shingle_hashes(padded, 8))
+
+
+# ---------------------------------------------------------------------------
+# r7: batch-vectorized Myers Levenshtein + fused token-jaccard kernels
+# ---------------------------------------------------------------------------
+
+def _lev_dp_oracle(a: str, b: str) -> int:
+    """Classic O(n*m) unit-cost Levenshtein — the scalar test oracle."""
+    m, n = len(a), len(b)
+    if m == 0:
+        return n
+    if n == 0:
+        return m
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        ca = a[i - 1]
+        for j in range(1, n + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != b[j - 1]))
+        prev = cur
+    return prev[n]
+
+
+lev_texts = st.text(alphabet="abcd efγ日𝄞", max_size=150)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(lev_texts, lev_texts), max_size=24))
+def test_myers_lev_batch_matches_dp_oracle(pairs):
+    from neural_entity_matching_spark.functions.similarity import (
+        _lev_distance_batch,
+    )
+
+    a = np.array([p[0] for p in pairs], dtype=object)
+    b = np.array([p[1] for p in pairs], dtype=object)
+    d = _lev_distance_batch(a, b)
+    for i, (x, y) in enumerate(pairs):
+        assert d[i] == _lev_dp_oracle(x, y), (x, y)
+
+
+def test_myers_lev_word_boundaries():
+    """Adversarial cases around the 64-bit word boundaries and the
+    carry chain between pattern words."""
+    from neural_entity_matching_spark.functions.similarity import (
+        _lev_distance_batch,
+    )
+
+    cases = [("", ""), ("", "abc"), ("abc", ""), ("a" * 63, "a" * 64),
+             ("a" * 64, "a" * 64), ("a" * 64, "a" * 65),
+             ("a" * 65, "b" * 65), ("a" * 64 + "b", "a" * 64 + "c"),
+             ("x" * 128, "y" * 129), ("x" * 129, "x" * 128),
+             ("ab" * 300, "ba" * 301), ("a" * 513, "a" * 512 + "b")]
+    a = np.array([c[0] for c in cases], dtype=object)
+    b = np.array([c[1] for c in cases], dtype=object)
+    d = _lev_distance_batch(a, b)
+    for i, (x, y) in enumerate(cases):
+        assert d[i] == _lev_dp_oracle(x, y), (i, d[i])
+
+
+ws_texts = st.text(alphabet="ab \t\n\x0b\x0c\r\xa0 ", max_size=30)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(ws_texts, ws_texts), max_size=16))
+def test_token_sets_jaccard_matches_java_semantics(pairs):
+    """The fused UDF's Python tokenizer replicates the JVM expression
+    tokens(x) = array_distinct(split(trim(x), '\\s+')) EXACTLY: trim
+    strips ASCII space only, Java \\s is [ \\t\\n\\x0B\\f\\r] (never
+    Unicode whitespace), boundary separators produce empty tokens."""
+    import re as _re
+
+    from neural_entity_matching_spark.functions.similarity import (
+        _token_sets_jaccard,
+    )
+
+    a = np.array([p[0] for p in pairs], dtype=object)
+    b = np.array([p[1] for p in pairs], dtype=object)
+    ti, tu = _token_sets_jaccard(a, b)
+    for i, (x, y) in enumerate(pairs):
+        sx = set(_re.split("[ \t\n\x0b\x0c\r]+", x.strip(" ")))
+        sy = set(_re.split("[ \t\n\x0b\x0c\r]+", y.strip(" ")))
+        assert ti[i] == len(sx & sy)
+        assert tu[i] == len(sx | sy)
