@@ -54,6 +54,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """Equivalent DuckDB SQL for every query (all 28 are SQL-expressible;
+    """Equivalent DuckDB SQL for every query (all are SQL-expressible;
     column names/aliases match the Spark side exactly)."""
     return dict(contract.ORACLES)

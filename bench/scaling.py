@@ -228,7 +228,19 @@ def _ml_section(n_base: int) -> str:
     # rows stay in the jsonl — ml-logistic v1's E1/E4 rows disagree on
     # the sampled pair set (iid-keyed sampling bug, fixed in v2) and are
     # deliberately not estimable
-    newest = max(rows, key=lambda r: r["ts"]).get("variant")
+    # newest ESTIMABLE variant headlines (same fallback rule as report():
+    # a brand-new variant with only its first executor level landed so
+    # far must not hide the previously estimable record)
+    newest = None
+    seen: set = set()
+    for r in sorted(rows, key=lambda r: r["ts"], reverse=True):
+        v = r.get("variant")
+        if v in seen:
+            continue
+        seen.add(v)
+        if _estimable([x for x in rows if x.get("variant") == v]):
+            newest = v
+            break
     rows = [r for r in rows if r.get("variant") == newest]
     if not ({1, 4} <= {r["executors"] for r in rows}):
         return ""
@@ -311,19 +323,27 @@ def _estimable(rows: list[dict]) -> bool:
 
 def report(n_base: int, variant: str | None = None) -> dict:
     all_rows = load_record(n_base)
+    auto_selected = False
     if variant is None and len({r.get("variant") for r in all_rows}) > 1:
         # headline the variant of the newest ESTIMABLE run set (the
         # current plan); a variant whose record so far has runs at only
         # one executor level (report invoked mid-batch, after the first
-        # E1 leg) is skipped rather than crashed on, and untagged
-        # (pre-variant) rows group under variant=None via .get
+        # E1 leg) is skipped rather than crashed on. NOTE: the untagged
+        # (pre-variant) group itself has variant=None, so once a group
+        # is auto-selected the row filter must be a plain equality —
+        # treating a selected None as "no filter" would mix every
+        # variant's rows and trip estimators()' single-variant assert.
         for r in sorted(all_rows, key=lambda r: r["ts"], reverse=True):
             v = r.get("variant")
             if _estimable([x for x in all_rows if x.get("variant") == v]):
                 variant = v
+                auto_selected = True
                 break
-    rows = [r for r in all_rows
-            if variant is None or r.get("variant") == variant]
+    if auto_selected:
+        rows = [r for r in all_rows if r.get("variant") == variant]
+    else:
+        rows = [r for r in all_rows
+                if variant is None or r.get("variant") == variant]
     others = [r for r in all_rows if r not in rows]
     if not _estimable(rows):
         raise SystemExit(

@@ -57,10 +57,19 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    # r7: fuse initialization with the first propagation round. With
+    # identity labels, iteration 1's neighbor-min join degenerates to
+    # min(dst) per src, so label(v) = min(v, min(N(v))) comes from ONE
+    # hash aggregate — this also replaces the labels-distinct exchange.
+    # Identical to running the old loop once (same labels, same
+    # convergence from here), one join and one exchange cheaper.
     labels = (
-        sym.select(F.col("src").alias("conv_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("conv_id"))
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("_nbr"))
+        .select(
+            F.col("src").alias("conv_id"),
+            F.least(F.col("src"), F.col("_nbr")).alias("cluster_id"),
+        )
     )
 
     for i in range(max_iterations):

@@ -22,21 +22,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       fan: bool = False) -> DataFrame:
+    """Read a driver table; ``fan=True`` additionally spreads a
+    too-narrow scan across the cluster.
+
+    The driver tables are single-row-group parquet files, so the scan
+    (and every narrow op fused onto it — regex, tokenize, n-grams, the
+    minhash UDF) runs as ONE task no matter the split config
+    (row-group-midpoint assignment). ``fan=True`` repartitions such a
+    scan to defaultParallelism before the per-row work (guide §2.5
+    "input skew: one huge unsplittable file ... repartition immediately
+    after the read"; measured 4.0s -> 0.6s for a full-corpus tokenize at
+    50k docs x local[32]). Scale-adaptive: a real multi-file/multi-
+    row-group table already scans wider than defaultParallelism and is
+    left untouched, so this never adds a shuffle at cluster scale.
+
+    Opt-in per query because the round-robin exchange is NOT free — it
+    pays a local sort of the scan (sortBeforeRepartition, SPARK-23207)
+    plus the shuffle itself, which measured as a net LOSS for queries
+    whose first operation is already an aggregation/window with its own
+    exchange and cheap narrow work (signature_build +0.32s, window_agg
+    +1.2s, sessionize +0.7s at sf1-scale), and a net WIN where the
+    fused per-row work dominates (minhash_lsh_dedup 10.9s -> 4.1s,
+    embedding_cosine_topk -66%, text_quality/token_count -25%)."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # The driver tables are single-row-group parquet files, so the scan
-    # (and every narrow op fused onto it — regex, tokenize, n-grams, the
-    # minhash UDF) runs as ONE task no matter the split config
-    # (row-group-midpoint assignment). Fan small scans out to the
-    # cluster's parallelism before the per-row work (guide §2.5 "input
-    # skew: one huge unsplittable file ... repartition immediately after
-    # the read"; measured 4.0s -> 0.6s for a full-corpus tokenize at
-    # 50k docs x local[32]). Scale-adaptive: a real multi-file/multi-
-    # row-group table already scans wider than defaultParallelism and is
-    # left untouched, so this never adds a shuffle at cluster scale.
-    p = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
-        df = df.repartition(p)
+    if fan:
+        p = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < p:
+            df = df.repartition(p)
     return df
 
 
@@ -171,7 +185,7 @@ def q_token_overlap_block(spark, sf_dir):
     C(k,2) join rows before any filter — quadratic at scale. The cap is
     exercised at sf0.01 (~half the vocabulary is hot), so the oracle match
     proves the cap semantics, not just the join."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("tok"),
@@ -217,7 +231,7 @@ def q_two_table_block(spark, sf_dir):
         token_overlap_block,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     lhs = docs.filter(F.length("source") == 4)
     rhs = docs.filter(F.length("source") == 5)
     pairs, _stats = token_overlap_block(
@@ -465,7 +479,7 @@ FROM customer GROUP BY 1
 def q_topk_per_group(spark, sf_dir):
     """A7 nlargest analogue: top-3 orders per priority, deterministic
     tie-break on key."""
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders", fan=True)
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
@@ -575,7 +589,7 @@ def q_ngram_jaccard_dedup(spark, sf_dir):
     source) — the n-gram-Jaccard dedup primitive, all JVM array ops."""
     from neural_entity_matching_spark.operators.dedup import ngram_jaccard_dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     return ngram_jaccard_dedup(docs, block_col="source", n=3, threshold=0.6)
 
 
@@ -603,7 +617,7 @@ def q_minhash_lsh_dedup(spark, sf_dir):
     Note the verify step trims the text exactly as the fingerprint does."""
     from neural_entity_matching_spark.operators.dedup import minhash_lsh_dedup
 
-    docs = _t(spark, sf_dir, "documents").withColumn("text", F.trim("text"))
+    docs = _t(spark, sf_dir, "documents", fan=True).withColumn("text", F.trim("text"))
     pairs, _stats = minhash_lsh_dedup(
         docs, num_hashes=64, bands=16, char_ngram=5, seed=42,
         threshold=0.4, block_cap=1000,
@@ -635,7 +649,7 @@ def q_cross_corpus_dedup(spark, sf_dir):
     truth and verification makes the result exact."""
     from neural_entity_matching_spark.operators.dedup import cross_corpus_dedup
 
-    docs = _t(spark, sf_dir, "documents").withColumn("text", F.trim("text"))
+    docs = _t(spark, sf_dir, "documents", fan=True).withColumn("text", F.trim("text"))
     lhs = docs.filter(F.length("source") == 4)
     rhs = docs.filter(F.length("source") == 5)
     pairs, _stats = cross_corpus_dedup(
@@ -663,7 +677,7 @@ def q_tfidf_cosine_pairs(spark, sf_dir):
     """TF-IDF cosine similarity between same-source doc pairs — pure
     DataFrame ops (explode -> tf -> df -> idf -> weight join -> dot/norms),
     no UDF; the distributed form of Magellan's cosine feature (F7)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     toks = docs.select(
         "doc_id", "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
     )
@@ -733,7 +747,7 @@ def q_embedding_cosine_topk(spark, sf_dir):
     JVM zip_with/aggregate dot products (sequential fold — bit-identical
     to the oracle's list_dot_product), deterministic (rounded score, id)
     tie-break. The LSH-bucketed scale path lives in operators/ann.py."""
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _t(spark, sf_dir, "embeddings", fan=True).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
     dot = "aggregate(zip_with({0}, {1}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
@@ -772,7 +786,7 @@ WHERE rank <= 3
 def q_text_quality(spark, sf_dir):
     """Text quality scoring: token count, distinct-token ratio, average
     token length, composite score — per-doc, all JVM expressions."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
     d = docs.select("doc_id", norm.alias("t")).select(
         "doc_id",
@@ -814,7 +828,7 @@ _LEXICON = ["key", "agg", "row", "scan", "table", "value", "part", "hash",
 def q_lang_id(spark, sf_dir):
     """Heuristic language ID: fraction of tokens found in a fixed lexicon
     (the n-gram/stopword-ratio heuristic, lexicon frozen)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     lex = F.array(*[F.lit(w) for w in _LEXICON])
     toks = F.split(F.lower(F.trim("text")), r"\s+")
     ratio = F.size(F.array_intersect(F.array_distinct(toks), lex)) / F.size(F.array_distinct(toks))
@@ -841,7 +855,7 @@ FROM d
 def q_token_count(spark, sf_dir):
     """Token counting: whitespace tokens + BPE-ish regex pieces
     ([a-z]+|[0-9]+|single other char) per source."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     pat = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
     d = docs.select(
         "source",
@@ -967,7 +981,7 @@ def q_sequential_cascade(spark, sf_dir):
         token_overlap_block,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     cands, _stats = token_overlap_block(
         docs, min_shared_tokens=15, text_col="text", id_col="doc_id",
         max_token_df=390,

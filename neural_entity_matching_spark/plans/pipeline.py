@@ -195,6 +195,17 @@ def _event_rows(spark, run_id: str, stage: str, snapshot_id: str,
     return spark.createDataFrame(rows, _LINEAGE_EVENT_SCHEMA)
 
 
+def read_run_metrics(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """THE way to read the lineage table. ``run_metrics`` is append-only
+    and gained the (event, event_value) columns in a later release, so a
+    long-lived checkpoint_dir mixes 7- and 9-column files; a bare
+    ``read.parquet`` infers the schema from one arbitrary footer and can
+    either drop the new columns or fail on ``col('event')``. mergeSchema
+    unions the footers (pre-event rows read as NULL events)."""
+    return (spark.read.option("mergeSchema", "true")
+            .parquet(f"{checkpoint_dir}/run_metrics"))
+
+
 def run_pipeline(
     spark: SparkSession,
     transcripts: DataFrame,

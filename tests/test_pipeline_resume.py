@@ -88,7 +88,11 @@ def test_trained_scorer_rescores_when_labels_change(spark, fixture_small,
     assert not report3.stages["scored"]["resumed"]
 
     # lineage rows exist per stage with per-partition granularity
-    metrics = spark.read.parquet(f"{ckpt}/run_metrics")
+    # (read through the mergeSchema helper — a checkpoint_dir that
+    # predates the event columns mixes 7- and 9-column files)
+    from neural_entity_matching_spark.plans.pipeline import read_run_metrics
+
+    metrics = read_run_metrics(spark, ckpt)
     stages = {r["stage"] for r in metrics.select("stage").distinct().collect()}
     assert {"signatures", "candidates", "scored", "clusters"} <= stages
     assert metrics.filter(F.col("rows_out") <= 0).count() == 0
