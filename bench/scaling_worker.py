@@ -301,11 +301,16 @@ def _run_ml(spark, sigs, labeled, *, executors: int, cores: int,
         # v4 = v2 + banded/hashed featurize (NEM_FEAT_BAND) + L2 1e-6
         # logistic — semantic feature/model changes fork the tag; the
         # single v3 pair (banded featurize, unregularized fit) stays in
-        # the record as the measurement that exposed the fit barrier cost
+        # the record as the measurement that exposed the fit barrier cost.
+        # v5 (r7): the EXACT featurize path moved from the JVM O(n*m)
+        # levenshtein + per-pair tokenize to the fused Arrow Myers kernel
+        # (operators/scoring.featurize_pairs) — same outputs bit-for-bit,
+        # different plan, so the exact-path record restarts under a new
+        # tag (v2 rows stay as the old plan's record).
         "variant": (
             f"ml-logistic-v4|NEM_ML_SAMPLE_MOD={ML_SAMPLE_MOD}"
             f"|NEM_FEAT_BAND={feat_band}|l2=1e-06" if feat_band
-            else f"ml-logistic-v2|NEM_ML_SAMPLE_MOD={ML_SAMPLE_MOD}"),
+            else f"ml-logistic-v5-arrowlev|NEM_ML_SAMPLE_MOD={ML_SAMPLE_MOD}"),
     }))
     assert n_scored == n_cand
 
