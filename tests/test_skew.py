@@ -294,3 +294,44 @@ def test_dense_id_mapping_rejects_duplicate_ids(spark):
     )
     with pytest.raises(AssertionError, match="duplicates"):
         dense_id_mapping(ids, partitions=4)
+
+
+def test_grouped_physical_cap_fallback(spark):
+    """r7: the single-pass grouped strategy must take the same
+    prune-before-collect fallback as packed when a physical block
+    exceeds physical_block_cap — identical pair set and stats to the
+    non-fallback run, in both the raw-keys and the ids-provided shapes."""
+    from neural_entity_matching_spark.operators.blocking import (
+        grouped_pairs_from_block_keys,
+    )
+
+    keys = _hot_keys(spark)
+    ids = keys.select("conv_id").distinct()
+
+    def pair_set(pairs):
+        return {(r["conv_id_a"], r["conv_id_b"]) for r in pairs.collect()}
+
+    pf, sf = grouped_pairs_from_block_keys(keys, block_cap=100,
+                                           physical_block_cap=50)
+    assert "prune-before-collect" in sf.extra["fallback"]
+    pn, sn = grouped_pairs_from_block_keys(keys, block_cap=100)
+    assert "fallback" not in sn.extra
+    assert pair_set(pf) == pair_set(pn)
+    assert sf.extra["n_pairs"] == sn.extra["n_pairs"] == 100 * 3
+    assert (sf.oversized_blocks, sf.dropped_memberships) == (
+        sn.oversized_blocks, sn.dropped_memberships) == (1, 120)
+
+    # ids-provided shape (keys stream, no raw persist): fallback must
+    # re-persist the narrow keys and still match
+    pi, si = grouped_pairs_from_block_keys(keys, block_cap=100,
+                                           physical_block_cap=50, ids=ids)
+    assert "prune-before-collect" in si.extra["fallback"]
+    assert pair_set(pi) == pair_set(pn)
+    assert si.extra["n_pairs"] == 100 * 3
+
+    # fallback with the cap ABOVE the hot block: full pair set preserved
+    pf2, sf2 = grouped_pairs_from_block_keys(keys, block_cap=1000,
+                                             physical_block_cap=50, ids=ids)
+    pn2, sn2 = grouped_pairs_from_block_keys(keys, block_cap=1000)
+    s_f, s_n = pair_set(pf2), pair_set(pn2)
+    assert s_f == s_n and len(s_f) == 120 * 119 // 2 + 100 * 3
