@@ -120,7 +120,12 @@ def featurize_pairs(
 ) -> DataFrame:
     """Attach (sig_a, sig_b) payloads and compute pair features.
 
-    Hot path is JVM-only (levenshtein / array jaccard / lengths); the
+    The default (exact) hot path computes the Levenshtein distance and
+    token intersect/union in ONE fused Arrow pass (batch-vectorized
+    Myers kernel + exact-Spark-semantics tokenizer — r7, see the fused
+    branch below); lev_ratio / token_jaccard / len_ratio are JVM float
+    expressions over the returned integers, bit-identical to the all-JVM
+    formulation. The banded/hashed variants stay JVM-only; the
     Jaro-Winkler pandas UDF is opt-in (Arrow batch per partition).
 
     ``with_tfidf`` adds the north-star TF-IDF cosine: per-doc normalized
